@@ -1,0 +1,84 @@
+"""Learning-rate schedule with warm-up, exponential decay window,
+score-based multiplicative decay and early stopping.
+
+Pure host-side math reproducing the exact semantics of the reference
+schedule (model/utils/lr_schedule.py:4-118): durations are measured in
+batches; the decay factor is precomputed so that lr decays from ``lr_init``
+to ``lr_min`` over ``[start_decay, end_decay]``; warm-up holds ``lr_warm``
+until ``end_warm``; score-based decay multiplies by ``decay_rate`` whenever
+the (higher-is-better) score fails to improve; ``lr`` is floored at
+``lr_min``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class LRSchedule:
+    def __init__(
+        self,
+        lr_init: float = 1e-3,
+        lr_min: float = 1e-4,
+        start_decay: int = 0,
+        decay_rate: Optional[float] = None,
+        end_decay: Optional[int] = None,
+        lr_warm: float = 1e-4,
+        end_warm: Optional[int] = None,
+        early_stopping: Optional[int] = None,
+    ):
+        self._lr_init = lr_init
+        self._lr_min = lr_min
+        self._start_decay = start_decay
+        self._decay_rate = decay_rate
+        self._end_decay = end_decay
+        self._lr_warm = lr_warm
+        self._end_warm = end_warm
+
+        self._score: Optional[float] = None
+        self._early_stopping = early_stopping
+        self._n_no_improvement = 0
+
+        if self._end_warm is not None:
+            # decay must not start inside the warm-up window
+            self._start_decay = max(self._end_warm, self._start_decay)
+            self.lr = self._lr_warm
+        else:
+            self.lr = lr_init
+
+        if self._end_decay is not None:
+            span = float(self._end_decay - self._start_decay)
+            self._exp_decay = (lr_min / lr_init) ** (1.0 / span)
+
+    @property
+    def stop_training(self) -> bool:
+        return (
+            self._early_stopping is not None
+            and self._n_no_improvement >= self._early_stopping
+        )
+
+    def update(self, batch_no: Optional[int] = None, score: Optional[float] = None) -> None:
+        """Advance the schedule by time (``batch_no``) and/or by ``score``.
+
+        Higher score is better. Both updates may apply in the same call.
+        """
+        if batch_no is not None:
+            if (
+                self._end_warm is not None
+                and self._end_warm <= batch_no <= self._start_decay
+            ):
+                self.lr = self._lr_init
+            if batch_no > self._start_decay and self._end_decay is not None:
+                self.lr *= self._exp_decay
+
+        if self._decay_rate is not None and score is not None and self._score is not None:
+            if score <= self._score:
+                self.lr *= self._decay_rate
+                self._n_no_improvement += 1
+            else:
+                self._n_no_improvement = 0
+
+        if score is not None:
+            self._score = score
+
+        self.lr = max(self.lr, self._lr_min)

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-device CPU platform so multi-chip sharding
+paths are exercised without TPU hardware (SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_dataset(tmp_path_factory):
+    """A synthetic rendered dataset shared across tests."""
+    from latex_ocr_tpu.data.synthetic import make_synthetic_dataset
+
+    out_dir = str(tmp_path_factory.mktemp("smalldata"))
+    buckets = [[240, 100], [320, 80], [400, 100], [480, 100], [560, 100], [720, 120]]
+    paths = make_synthetic_dataset(
+        out_dir, n_train=40, n_val=12, n_test=12, seed=0, buckets=buckets, n_threads=2
+    )
+    paths["buckets"] = buckets
+    return paths

@@ -1,0 +1,87 @@
+"""Tests for the dataset generator, synthetic renderer, and file contracts."""
+
+import os
+
+import numpy as np
+
+from latex_ocr_tpu.data.generator import DataGenerator, default_img_prepro
+from latex_ocr_tpu.data.synthetic import render_formula_array, token_glyph
+from latex_ocr_tpu.data.vocab import get_form_prepro, load_tok_to_id
+
+
+def test_synthetic_glyphs_deterministic_and_distinct():
+    g1 = token_glyph("x")
+    g2 = token_glyph("x")
+    g3 = token_glyph("y")
+    np.testing.assert_array_equal(g1, g2)
+    assert not np.array_equal(g1, g3)
+
+
+def test_render_formula_array_white_background():
+    arr = render_formula_array("x + y")
+    assert arr.dtype == np.uint8
+    assert arr.max() == 255  # white background
+    assert (arr != 255).sum() > 0  # has ink
+
+
+def test_dataset_files_exist(small_dataset):
+    for split in ("train", "val", "test"):
+        assert os.path.exists(small_dataset[f"path_formulas_{split}"])
+        assert os.path.exists(small_dataset[f"path_matching_{split}"])
+        assert len(os.listdir(small_dataset[f"dir_images_{split}"])) > 0
+
+
+def test_generator_yields_and_filters(small_dataset):
+    tok_to_id = load_tok_to_id(small_dataset["path_vocab"], ["_UNK", "_PAD", "_END"])
+    prepro = get_form_prepro(tok_to_id, tok_to_id["_UNK"])
+    gen = DataGenerator(
+        path_formulas=small_dataset["path_formulas_train"],
+        dir_images=small_dataset["dir_images_train"],
+        path_matching=small_dataset["path_matching_train"],
+        img_prepro=default_img_prepro,
+        form_prepro=prepro,
+        max_len=50,
+    )
+    items = list(gen)
+    assert len(items) == 40
+    img, formula = items[0]
+    assert img.ndim == 3 and img.shape[2] == 1 and img.dtype == np.uint8
+    assert all(isinstance(t, int) for t in formula)
+    # max_len filter drops long formulas
+    gen_short = DataGenerator(
+        path_formulas=small_dataset["path_formulas_train"],
+        dir_images=small_dataset["dir_images_train"],
+        path_matching=small_dataset["path_matching_train"],
+        img_prepro=default_img_prepro,
+        form_prepro=prepro,
+        max_len=4,
+    )
+    assert 0 < len(list(gen_short)) < 40
+    # max_iter caps
+    gen_cap = DataGenerator(
+        path_formulas=small_dataset["path_formulas_train"],
+        dir_images=small_dataset["dir_images_train"],
+        path_matching=small_dataset["path_matching_train"],
+        img_prepro=default_img_prepro,
+        form_prepro=prepro,
+        max_iter=5,
+    )
+    assert len(list(gen_cap)) == 5
+
+
+def test_generator_bucketing_groups_shapes(small_dataset):
+    gen = DataGenerator(
+        path_formulas=small_dataset["path_formulas_train"],
+        dir_images=small_dataset["dir_images_train"],
+        path_matching=small_dataset["path_matching_train"],
+        img_prepro=default_img_prepro,
+        bucket=True,
+        bucket_size=4,
+    )
+    shapes = [img.shape for img, _ in gen]
+    assert len(shapes) == 40
+    # bucketing should produce runs of identical shapes; count shape
+    # transitions — must be far fewer than for a shuffled order
+    transitions = sum(1 for a, b in zip(shapes, shapes[1:]) if a != b)
+    n_distinct = len(set(shapes))
+    assert transitions <= 3 * n_distinct

@@ -1,0 +1,157 @@
+"""Unit tests for config, LR schedule, vocab, padding, image utils.
+
+Golden behaviors derived from the reference semantics (SURVEY.md §2):
+warm-up/decay windows, vocab special-token ordering, pad/END contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from latex_ocr_tpu.utils import Config, LRSchedule, minibatches
+from latex_ocr_tpu.data.vocab import (
+    Vocab,
+    get_form_prepro,
+    load_tok_to_id,
+    pad_batch_formulas,
+    truncate_end,
+    write_vocab,
+)
+from latex_ocr_tpu.data.images import (
+    get_max_shape,
+    get_new_size,
+    greyscale,
+    pad_batch_images,
+)
+
+
+# ---------------------------------------------------------------- config
+def test_config_merge_and_override(tmp_path):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(json.dumps({"export_name": "a.json", "x": 1, "y": 2}))
+    b.write_text(json.dumps({"export_name": "b.json", "y": 3, "z": 4}))
+    cfg = Config([str(a), str(b)])
+    assert cfg.x == 1 and cfg.y == 3 and cfg.z == 4
+
+    out = tmp_path / "run"
+    cfg.save(str(out))
+    assert sorted(os.listdir(out)) == ["a.json", "b.json"]
+    # reloading the snapshot reproduces the merged view
+    cfg2 = Config([str(out / "a.json"), str(out / "b.json")])
+    assert cfg2.y == 3
+
+
+def test_config_dict_source():
+    cfg = Config({"batch_size": 8})
+    assert cfg.batch_size == 8
+    assert cfg.get("missing", 42) == 42
+
+
+# ---------------------------------------------------------------- lr schedule
+def test_lr_warmup_then_decay():
+    s = LRSchedule(lr_init=1e-3, lr_min=1e-4, start_decay=10, end_decay=20,
+                   lr_warm=1e-5, end_warm=5)
+    assert s.lr == 1e-5
+    s.update(batch_no=5)
+    assert s.lr == 1e-3  # warm-up ends: back to lr_init
+    for b in range(6, 21):
+        s.update(batch_no=b)
+    assert s.lr == pytest.approx(1e-4, rel=1e-6)  # decayed to lr_min at end_decay
+    s.update(batch_no=100)
+    assert s.lr >= 1e-4  # floored
+
+
+def test_lr_score_decay_and_early_stop():
+    s = LRSchedule(lr_init=1.0, lr_min=1e-8, decay_rate=0.5, early_stopping=2)
+    s.update(score=10.0)
+    assert s.lr == 1.0  # first score: no previous to compare
+    s.update(score=9.0)
+    assert s.lr == 0.5
+    assert not s.stop_training
+    s.update(score=8.0)
+    assert s.lr == 0.25
+    assert s.stop_training
+    s2 = LRSchedule(lr_init=1.0, decay_rate=0.5)
+    s2.update(score=1.0)
+    s2.update(score=2.0)  # improvement: untouched
+    assert s2.lr == 1.0
+
+
+# ---------------------------------------------------------------- vocab
+def test_vocab_special_tokens_appended(tmp_path):
+    vocab_file = tmp_path / "vocab.txt"
+    write_vocab(["a", "b", "x"], str(vocab_file))
+    cfg = Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
+                  "path_vocab": str(vocab_file), "min_count_tok": 0})
+    v = Vocab(cfg)
+    assert v.n_tok == 6
+    assert v.tok_to_id == {"a": 0, "b": 1, "x": 2, "_UNK": 3, "_PAD": 4, "_END": 5}
+    assert (v.id_unk, v.id_pad, v.id_end) == (3, 4, 5)
+    assert v.form_prepro("a x zzz") == [0, 2, 3]
+
+
+def test_load_tok_to_id_no_trailing_newline(tmp_path):
+    p = tmp_path / "v.txt"
+    p.write_text("a\nb\nc")  # write_vocab contract: no trailing newline
+    assert load_tok_to_id(str(p), ["_END"]) == {"a": 0, "b": 1, "c": 2, "_END": 3}
+
+
+def test_pad_batch_formulas_contract():
+    batch, lengths = pad_batch_formulas([[5, 6], [7]], id_pad=0, id_end=9)
+    assert batch.shape == (2, 3)  # max_len + 1
+    np.testing.assert_array_equal(batch, [[5, 6, 9], [7, 9, 0]])
+    np.testing.assert_array_equal(lengths, [3, 2])
+    # explicit max_len
+    batch2, _ = pad_batch_formulas([[5]], id_pad=0, id_end=9, max_len=4)
+    assert batch2.shape == (1, 5)
+
+
+def test_truncate_end():
+    assert truncate_end([3, 1, 9, 5], id_end=9) == [3, 1]
+    assert truncate_end([9], id_end=9) == []
+    assert truncate_end([1, 2], id_end=9) == [1, 2]
+
+
+def test_form_prepro_unknown_maps_to_unk():
+    prepro = get_form_prepro({"a": 0}, id_unk=7)
+    assert prepro(" a q ") == [0, 7]
+
+
+# ---------------------------------------------------------------- images
+def test_greyscale_luma_and_passthrough():
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[..., 1] = 255  # pure green
+    g = greyscale(rgb)
+    assert g.shape == (2, 2, 1)
+    assert int(g[0, 0, 0]) == int(255 * 0.587)
+    # grayscale input passthrough
+    plain = np.full((3, 4), 7, dtype=np.uint8)
+    assert greyscale(plain).shape == (3, 4, 1)
+
+
+def test_pad_batch_images_white_padding():
+    imgs = [np.zeros((2, 3, 1), np.uint8), np.zeros((4, 2, 1), np.uint8)]
+    assert get_max_shape(imgs) == [4, 3, 1]
+    batch = pad_batch_images(imgs)
+    assert batch.shape == (2, 4, 3, 1)
+    assert batch.dtype == np.uint8
+    assert batch[0, 3, 0, 0] == 255  # padded region is white
+    assert batch[0, 1, 2, 0] == 0
+
+
+def test_get_new_size_bucket_snap():
+    buckets = [(240, 100), (320, 80), (400, 100)]
+    assert get_new_size((230, 90), buckets) == (240, 100)
+    assert get_new_size((250, 70), buckets) == (320, 80)
+    assert get_new_size((999, 999), buckets) == (999, 999)  # no fit: keep
+
+
+# ---------------------------------------------------------------- minibatches
+def test_minibatches_partial_tail():
+    data = [(i, -i) for i in range(5)]
+    batches = list(minibatches(iter(data), 2))
+    assert [len(b[0]) for b in batches] == [2, 2, 1]
+    assert batches[2] == ([4], [-4])
