@@ -1,0 +1,71 @@
+"""Benchmark: training throughput (formula images/sec/chip) on real TPU.
+
+Measures the full jitted train step (conv encoder + scan attention decoder,
+fwd+bwd+adam, bf16 compute) on a representative im2latex bucket shape:
+stored bucket (400, 100) -> (50, 200) images, formula length 64, batch 64.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+its trainer is TF 1.12 feed_dict on a consumer GPU (reference README.md:231
+narrates very slow training). We use 50 images/sec as the documented
+reference estimate for this ~10M-param model on that setup, so
+vs_baseline = value / 50.0. The BASELINE.json north star is >=10x.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.utils import Config
+
+    B, H, W, T = 64, 50, 200, 64
+
+    config = Config(dict(ge.FLAGSHIP_MODEL))
+    vocab = ge._make_vocab(500)
+    model = Img2SeqModel(config, vocab, compute_dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init_params(rng)
+    opt_state = model.init_optimizer(params, "adam", clip=-1)
+
+    host_batch = ge._make_batch(B, H, W, T, vocab.n_tok, vocab.id_end)
+    batch = {k: jax.device_put(v) for k, v in host_batch.items()}
+    lr = jnp.float32(1e-3)
+
+    # warm-up: compile + one step
+    params, opt_state, metrics = model.train_step(params, opt_state, batch, lr, rng, 1.0)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 30
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, opt_state, metrics = model.train_step(
+            params, opt_state, batch, lr, jax.random.fold_in(rng, i), 1.0
+        )
+    jax.block_until_ready(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+
+    images_per_sec = B * n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train images/sec/chip (bucket 400x100, T=64, B=64, bf16)",
+                "value": round(float(images_per_sec), 2),
+                "unit": "images/sec",
+                "vs_baseline": round(float(images_per_sec) / 50.0, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import shutil
 from multiprocessing import Pool
+from multiprocessing.pool import ThreadPool
 from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 from ..utils.general import delete_file, get_files, init_dir, run
@@ -135,8 +136,15 @@ def build_images(
         if idx not in set(existing)
     ]
     if todo:
-        with Pool(n_threads) as pool:
-            result = pool.map(_build_one, todo)
+        if synthetic:
+            # thread pool: numpy/PIL release the GIL, and forking after a
+            # JAX import risks deadlocks in multithreaded processes
+            with ThreadPool(n_threads) as pool:
+                result = pool.map(_build_one, todo)
+        else:
+            # process pool for the LaTeX toolchain (subprocess-bound)
+            with Pool(n_threads) as pool:
+                result = pool.map(_build_one, todo)
     else:
         result = []
     result += [(f"{idx}.png", idx) for idx in existing]

@@ -1,0 +1,22 @@
+from .text import (
+    bleu_score,
+    edit_distance,
+    exact_match_score,
+    levenshtein,
+    score_files,
+    truncate_end,
+    write_answers,
+)
+from .image import img_edit_distance, score_dirs
+
+__all__ = [
+    "bleu_score",
+    "edit_distance",
+    "exact_match_score",
+    "img_edit_distance",
+    "levenshtein",
+    "score_dirs",
+    "score_files",
+    "truncate_end",
+    "write_answers",
+]

@@ -1,0 +1,14 @@
+from .encoder import encode, init_encoder_params
+from .decoder import (
+    init_decoder_params,
+    teacher_forcing_logits,
+)
+from .img2seq import Img2SeqModel
+
+__all__ = [
+    "Img2SeqModel",
+    "encode",
+    "init_decoder_params",
+    "init_encoder_params",
+    "teacher_forcing_logits",
+]

@@ -1,0 +1,271 @@
+"""Attention LSTM decoder: teacher-forced training path.
+
+Implements the Deng et al. (arXiv:1609.04938) decoder the reference builds
+with TF1 dynamic_rnn (reference model/decoder.py:15-105,
+model/components/attention_cell.py:58-89,
+model/components/attention_mechanism.py:43-94), redesigned for XLA:
+
+- the image-side attention projection ``att_img = regions @ W_att_img`` is
+  computed ONCE per sequence (the reference's key optimization), outside
+  the time loop;
+- the per-step recurrence is a `lax.scan` over time with static trip count,
+  so the whole teacher-forced forward+backward+update compiles to a single
+  XLA program;
+- state is an explicit (c, h, o) tuple; all weights live in one fp32
+  pytree, activations can run in bfloat16 on the MXU.
+
+Cell step math (per reference attention_cell.py step):
+    x      = [emb_t ; o_{t-1}]
+    h, c   = LSTM(x, (c_prev, h_prev))          # TF1 LSTMCell, forget_bias=1
+    h      = dropout(h)
+    e      = tanh(att_img + h @ W_att_h) @ beta  # Bahdanau scores over regions
+    a      = softmax(e)
+    ctx    = sum_r a_r * region_r
+    o      = tanh(h @ o_W_h + ctx @ o_W_c); o = dropout(o)
+    logits = o @ y_W_o
+
+Initial state: each of (c0, h0, o0) = tanh(mean_region @ W + b)
+(reference attention_mechanism.py:124-153).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class AttnState(NamedTuple):
+    c: jnp.ndarray  # (B, num_units) LSTM cell state
+    h: jnp.ndarray  # (B, num_units) LSTM hidden state
+    o: jnp.ndarray  # (B, dim_o)     deep-output vector
+
+
+def _glorot_uniform(rng, shape):
+    fan_in, fan_out = shape[0], shape[-1]
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(rng, shape, jnp.float32, -limit, limit)
+
+
+def _embedding_init(rng, shape):
+    """uniform(-1, 1) rows, L2-normalized (reference decoder.py:98-105)."""
+    e = jax.random.uniform(rng, shape, jnp.float32, -1.0, 1.0)
+    return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def init_decoder_params(rng, config, n_tok: int, n_channels: int = 512) -> Dict:
+    cfg = config.attn_cell_config
+    dim_e = cfg["dim_e"]
+    dim_o = cfg["dim_o"]
+    dim_emb = cfg["dim_embeddings"]
+    num_units = cfg["num_units"]
+
+    ks = iter(jax.random.split(rng, 16))
+    params = {
+        "embedding_table": _embedding_init(next(ks), (n_tok, dim_emb)),
+        "start_token": _embedding_init(next(ks), (1, dim_emb))[0],
+        # TF1 LSTMCell layout: one kernel over [x; h], gate order (i, j, f, o)
+        "lstm": {
+            "w": _glorot_uniform(next(ks), (dim_emb + dim_o + num_units, 4 * num_units)),
+            "b": jnp.zeros((4 * num_units,), jnp.float32),
+        },
+        "att": {
+            "img_w": _glorot_uniform(next(ks), (n_channels, dim_e)),
+            "h_w": _glorot_uniform(next(ks), (num_units, dim_e)),
+            "beta": _glorot_uniform(next(ks), (dim_e, 1))[:, 0],
+        },
+        "init": {
+            "c_w": _glorot_uniform(next(ks), (n_channels, num_units)),
+            "c_b": jnp.zeros((num_units,), jnp.float32),
+            "h_w": _glorot_uniform(next(ks), (n_channels, num_units)),
+            "h_b": jnp.zeros((num_units,), jnp.float32),
+            "o_w": _glorot_uniform(next(ks), (n_channels, dim_o)),
+            "o_b": jnp.zeros((dim_o,), jnp.float32),
+        },
+        "out": {
+            "o_w_h": _glorot_uniform(next(ks), (num_units, dim_o)),
+            "o_w_c": _glorot_uniform(next(ks), (n_channels, dim_o)),
+            "y_w_o": _glorot_uniform(next(ks), (dim_o, n_tok)),
+        },
+    }
+    return params
+
+
+# ------------------------------------------------------------------ primitives
+
+
+def lstm_step(
+    lstm_params: Dict, x: jnp.ndarray, c: jnp.ndarray, h: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TF1-compatible LSTM step: forget_bias=1.0, gate order (i, j, f, o)."""
+    dtype = x.dtype
+    z = jnp.concatenate([x, h], axis=-1) @ lstm_params["w"].astype(dtype)
+    z = z + lstm_params["b"].astype(dtype)
+    i, j, f, o = jnp.split(z, 4, axis=-1)
+    new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+    return new_c, new_h
+
+
+def flatten_regions(img_feat: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H*W, C) attention regions."""
+    if img_feat.ndim == 3:
+        return img_feat
+    b, h, w, c = img_feat.shape
+    return img_feat.reshape(b, h * w, c)
+
+
+def compute_att_img(dec_params: Dict, regions: jnp.ndarray) -> jnp.ndarray:
+    """Precompute the image-side attention projection (B, R, dim_e)."""
+    return regions @ dec_params["att"]["img_w"].astype(regions.dtype)
+
+
+def initial_state(dec_params: Dict, regions: jnp.ndarray) -> AttnState:
+    """(c0, h0, o0) from the mean region feature."""
+    p = dec_params["init"]
+    mean = jnp.mean(regions, axis=1)
+    dt = regions.dtype
+    return AttnState(
+        c=jnp.tanh(mean @ p["c_w"].astype(dt) + p["c_b"].astype(dt)),
+        h=jnp.tanh(mean @ p["h_w"].astype(dt) + p["h_b"].astype(dt)),
+        o=jnp.tanh(mean @ p["o_w"].astype(dt) + p["o_b"].astype(dt)),
+    )
+
+
+def attention_context(
+    dec_params: Dict,
+    att_img: jnp.ndarray,  # (B, R, dim_e)
+    regions: jnp.ndarray,  # (B, R, C)
+    h: jnp.ndarray,  # (B, num_units)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bahdanau attention over image regions. Returns (context, weights).
+
+    Scores in fp32 for a numerically stable softmax regardless of the
+    compute dtype.
+    """
+    att = dec_params["att"]
+    att_h = h @ att["h_w"].astype(h.dtype)  # (B, dim_e)
+    e = jnp.tanh(att_img + att_h[:, None, :])  # (B, R, dim_e)
+    scores = e @ att["beta"].astype(e.dtype)  # (B, R)
+    a = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(regions.dtype)
+    ctx = jnp.einsum("br,brc->bc", a, regions)
+    return ctx, a
+
+
+def _dropout(x: jnp.ndarray, rng, keep_prob: float) -> jnp.ndarray:
+    """Inverted dropout with TF semantics (keep_prob, scale by 1/keep)."""
+    if rng is None or keep_prob >= 1.0:
+        return x
+    mask = jax.random.bernoulli(rng, keep_prob, x.shape)
+    return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
+
+
+def attn_cell_step(
+    dec_params: Dict,
+    emb: jnp.ndarray,  # (B, dim_emb)
+    state: AttnState,
+    att_img: jnp.ndarray,
+    regions: jnp.ndarray,
+    dropout_rng=None,
+    keep_prob: float = 1.0,
+) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
+    """One decoder step. Returns (logits (B, V), new_state, attn (B, R))."""
+    dt = regions.dtype
+    x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
+    new_c, new_h = lstm_step(dec_params["lstm"], x, state.c, state.h)
+
+    if dropout_rng is not None:
+        k1, k2 = jax.random.split(dropout_rng)
+    else:
+        k1 = k2 = None
+    new_h = _dropout(new_h, k1, keep_prob)
+
+    ctx, attn = attention_context(dec_params, att_img, regions, new_h)
+
+    out = dec_params["out"]
+    new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))
+    new_o = _dropout(new_o, k2, keep_prob)
+    logits = new_o @ out["y_w_o"].astype(dt)
+
+    return logits, AttnState(new_c, new_h, new_o), attn
+
+
+# -------------------------------------------------------------- train forward
+
+
+def shifted_embeddings(dec_params: Dict, formula: jnp.ndarray) -> jnp.ndarray:
+    """Teacher-forcing inputs: [start_token, E[y_0], ..., E[y_{T-2}]].
+
+    formula: (B, T) int32. Returns (B, T, dim_emb).
+    """
+    table = dec_params["embedding_table"]
+    emb = table[formula[:, :-1]]  # (B, T-1, E)
+    start = jnp.broadcast_to(
+        dec_params["start_token"][None, None, :], (formula.shape[0], 1, table.shape[1])
+    )
+    return jnp.concatenate([start, emb], axis=1)
+
+
+def teacher_forcing_logits(
+    dec_params: Dict,
+    img_feat: jnp.ndarray,  # (B, H, W, C) encoder output
+    formula: jnp.ndarray,  # (B, T) int32 target ids
+    dropout_rng=None,
+    keep_prob: float = 1.0,
+) -> jnp.ndarray:
+    """Full teacher-forced forward pass as one `lax.scan`.
+
+    Returns logits (B, T, V) in fp32.
+    """
+    regions = flatten_regions(img_feat)
+    att_img = compute_att_img(dec_params, regions)
+    state0 = initial_state(dec_params, regions)
+
+    embs = shifted_embeddings(dec_params, formula)  # (B, T, E)
+    embs_t = jnp.swapaxes(embs, 0, 1)  # (T, B, E) scan over time
+
+    T = formula.shape[1]
+    if dropout_rng is not None:
+        step_rngs = jax.random.split(dropout_rng, T)
+    else:
+        step_rngs = jnp.zeros((T, 2), jnp.uint32)  # unused
+
+    use_dropout = dropout_rng is not None and keep_prob < 1.0
+
+    def step(state, inputs):
+        emb_t, rng_t = inputs
+        logits, new_state, _ = attn_cell_step(
+            dec_params,
+            emb_t,
+            state,
+            att_img,
+            regions,
+            dropout_rng=rng_t if use_dropout else None,
+            keep_prob=keep_prob,
+        )
+        return new_state, logits
+
+    _, logits_t = jax.lax.scan(step, state0, (embs_t, step_rngs))
+    return jnp.swapaxes(logits_t, 0, 1).astype(jnp.float32)  # (B, T, V)
+
+
+def masked_ce_loss(
+    logits: jnp.ndarray,  # (B, T, V) fp32
+    formula: jnp.ndarray,  # (B, T) int32
+    lengths: jnp.ndarray,  # (B,) int32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked sparse-softmax CE (reference img2seq.py:68-75).
+
+    Returns (mean loss over valid tokens, sum of CE over valid tokens,
+    number of valid tokens).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_logp = jnp.take_along_axis(logp, formula[..., None], axis=-1)[..., 0]
+    mask = jnp.arange(formula.shape[1])[None, :] < lengths[:, None]
+    ce = -(tok_logp * mask)
+    ce_words = jnp.sum(ce)
+    n_words = jnp.sum(lengths)
+    loss = ce_words / jnp.maximum(1, jnp.sum(mask))
+    return loss, ce_words, n_words

@@ -1,0 +1,149 @@
+"""Img2Seq model facade: params, jitted train/eval/decode programs.
+
+The reference builds one TF1 graph with shared train/test branches
+(model/img2seq.py:48-123); here the same weights flow through three jitted
+pure functions instead:
+
+    train_step(params, opt_state, batch, lr, rng) -> params', opt_state', metrics
+    eval_step(params, batch)                      -> ce_words, n_words
+    decode(params, images)                        -> ids [greedy or beam]
+
+Static-shape contract: jax.jit specializes per (image bucket, length
+bucket) pair — the data pipeline snaps batches to a bounded set of
+shapes, so the compile cache stays small and every program is reused
+across the run.
+
+Optimizers mirror the reference factory (adam/adagrad/sgd/rmsprop +
+optional clip-by-global-norm, img2seq.py:85-123) via optax, with the
+learning rate passed as a traced scalar each step so the host-side
+LRSchedule drives it without recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .decoder import init_decoder_params, masked_ce_loss, teacher_forcing_logits
+from .decoding import decode_beam, decode_greedy, decode_greedy_with_attention
+from .encoder import encode, init_encoder_params
+
+
+def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.GradientTransformation:
+    """lr-less optimizer core; the per-step lr is multiplied in at update."""
+    m = lr_method.lower()
+    if m == "adam":
+        core = optax.scale_by_adam()
+    elif m == "adagrad":
+        core = optax.scale_by_rss(initial_accumulator_value=0.1)
+    elif m == "sgd":
+        core = optax.identity()
+    elif m == "rmsprop":
+        core = optax.scale_by_rms(decay=0.9)
+    else:
+        raise NotImplementedError(f"Unknown lr_method {lr_method}")
+    steps = []
+    if clip is not None and clip > 0:
+        steps.append(optax.clip_by_global_norm(clip))
+    steps.append(core)
+    steps.append(optax.scale(-1.0))
+    return optax.chain(*steps)
+
+
+class Img2SeqModel:
+    """Functional Img2Seq model with a jit-cached program per batch shape."""
+
+    def __init__(self, config, vocab, compute_dtype=jnp.float32):
+        self.config = config
+        self.vocab = vocab
+        self.compute_dtype = compute_dtype
+        self.n_tok = vocab.n_tok
+        self.id_end = vocab.id_end
+        self.decoding = getattr(config, "decoding", "greedy")
+        self.beam_size = getattr(config, "beam_size", 5)
+        self.div_gamma = getattr(config, "div_gamma", 1.0)
+        self.div_prob = getattr(config, "div_prob", 0.0)
+        self.max_length = getattr(config, "max_length_formula", 150) + 1
+        self._tx: Optional[optax.GradientTransformation] = None
+
+    # ------------------------------------------------------------- params
+    def init_params(self, rng: jax.Array) -> Dict:
+        enc_rng, dec_rng = jax.random.split(rng)
+        return {
+            "encoder": init_encoder_params(enc_rng, self.config),
+            "decoder": init_decoder_params(dec_rng, self.config, self.n_tok, 512),
+        }
+
+    def init_optimizer(self, params: Dict, lr_method: str = "adam", clip: float = -1.0):
+        self._tx = make_optimizer(lr_method, clip)
+        return self._tx.init(params)
+
+    # ------------------------------------------------------------ forward
+    def _loss_fn(self, params, batch, dropout_rng, keep_prob):
+        feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
+        logits = teacher_forcing_logits(
+            params["decoder"], feat, batch["formula"],
+            dropout_rng=dropout_rng, keep_prob=keep_prob,
+        )
+        loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
+        return loss, (ce_words, n_words)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(1, 2))
+    def train_step(
+        self,
+        params: Dict,
+        opt_state: Any,
+        batch: Dict[str, jnp.ndarray],
+        lr: jnp.ndarray,
+        dropout_rng: jax.Array,
+        keep_prob: float = 1.0,
+    ) -> Tuple[Dict, Any, Dict[str, jnp.ndarray]]:
+        """One fused fwd+bwd+update program."""
+        (loss, (ce_words, n_words)), grads = jax.value_and_grad(
+            self._loss_fn, has_aux=True
+        )(params, batch, dropout_rng, keep_prob)
+        updates, opt_state = self._tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        metrics = {"loss": loss, "ce_words": ce_words, "n_words": n_words}
+        return params, opt_state, metrics
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_step(self, params: Dict, batch: Dict[str, jnp.ndarray]):
+        """CE counters for perplexity on a labelled batch (no dropout)."""
+        loss, (ce_words, n_words) = self._loss_fn(params, batch, None, 1.0)
+        return {"loss": loss, "ce_words": ce_words, "n_words": n_words}
+
+    # ------------------------------------------------------------- decode
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def decode_step(self, params: Dict, images: jnp.ndarray) -> jnp.ndarray:
+        """Decode a uint8 image batch to ids (B, n_hyps, T), best first."""
+        feat = encode(params["encoder"], images, self.config, self.compute_dtype)
+        if self.decoding == "greedy":
+            ids = decode_greedy(params["decoder"], feat, self.max_length, self.id_end)
+            return ids[:, None, :]
+        out = decode_beam(
+            params["decoder"], feat, self.max_length, self.id_end,
+            self.beam_size, self.div_gamma, self.div_prob,
+        )
+        return out.ids
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def decode_with_attention(self, params: Dict, images: jnp.ndarray):
+        """Greedy decode returning (ids (B, T), attention (B, T, R))."""
+        feat = encode(params["encoder"], images, self.config, self.compute_dtype)
+        return decode_greedy_with_attention(
+            params["decoder"], feat, self.max_length, self.id_end
+        )
+
+    # --------------------------------------------------------- host utils
+    def ids_to_latex(self, ids) -> str:
+        """Detokenize one id sequence, truncating at END."""
+        from ..data.vocab import truncate_end
+
+        toks = truncate_end([int(i) for i in ids], self.id_end)
+        return " ".join(self.vocab.id_to_tok[t] for t in toks)

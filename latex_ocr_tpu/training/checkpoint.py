@@ -1,0 +1,66 @@
+"""Checkpointing: best-by-score params + opt state + epoch, auto-resume.
+
+Reproduces the reference lifecycle (model/base.py:33-69,126-129): one
+retained checkpoint, written when the validation score improves; on
+startup the latest checkpoint auto-restores and training resumes from the
+stored epoch. Uses orbax-checkpoint for async-capable, sharding-aware
+saves.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, dir_model: str, max_to_keep: int = 1):
+        self.dir_model = os.path.abspath(dir_model)
+        os.makedirs(self.dir_model, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.dir_model,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
+        )
+
+    def save(self, epoch: int, params: Dict, opt_state: Any, extra: Optional[Dict] = None) -> None:
+        state = {"params": params, "opt_state": opt_state, "extra": extra or {}}
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, params_like: Dict, opt_state_like: Any
+    ) -> Optional[Tuple[Dict, Any, Dict, int]]:
+        """Restore the latest checkpoint shaped like the given pytrees.
+
+        Returns (params, opt_state, extra, epoch) or None if no checkpoint.
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        target = {"params": params_like, "opt_state": opt_state_like, "extra": {}}
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(target)
+        )
+        return restored["params"], restored["opt_state"], restored.get("extra", {}), step
+
+    def restore_params(self, params_like: Dict) -> Optional[Dict]:
+        """Restore only the parameters (for eval/predict builds)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        target = {"params": params_like}
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.StandardRestore(target),
+            # partial restore: ignore opt_state/extra stored alongside
+        )
+        return restored["params"]
+
+    def close(self) -> None:
+        self._mgr.close()

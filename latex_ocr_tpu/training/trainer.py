@@ -1,0 +1,191 @@
+"""Training loop: epochs, per-batch LR schedule, eval-by-perplexity,
+keep-best checkpointing, early stopping.
+
+Reproduces the reference train lifecycle (model/base.py:95-138,
+model/img2seq.py:144-196): per epoch, iterate minibatches updating the LR
+schedule each batch; after each epoch decode the validation set, score it,
+select on perplexity computed as ``-exp(Σce/Σn)`` (the reference's
+sign-flipped internal score, img2seq.py:252 — reported positive), save a
+checkpoint when the score improves, and stop early when the schedule says
+so. All device work happens inside three jitted programs; the host only
+moves python floats.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.pipeline import BatchPipeline
+from ..evaluation.text import score_files, write_answers
+from ..utils.general import Progbar, get_logger, init_dir
+from .checkpoint import CheckpointManager
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        config,
+        dir_output: str,
+        mesh=None,
+    ):
+        self.model = model
+        self.config = config
+        self.dir_output = dir_output
+        init_dir(dir_output)
+        self.logger = get_logger(os.path.join(dir_output, "model.log"))
+        self.mesh = mesh
+        self.sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self.sharding = batch_sharding(mesh)
+
+    # ------------------------------------------------------------------ train
+    def train(self, train_set, val_set, lr_schedule) -> Optional[float]:
+        config = self.config
+        model = self.model
+        rng = jax.random.PRNGKey(int(getattr(config, "seed", 42)))
+        rng, init_rng = jax.random.split(rng)
+
+        params = model.init_params(init_rng)
+        opt_state = model.init_optimizer(
+            params,
+            getattr(config, "lr_method", "adam"),
+            getattr(config, "clip", -1),
+        )
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
+            opt_state = replicate(opt_state, self.mesh)
+
+        ckpt = CheckpointManager(os.path.join(self.dir_output, "model_weights"))
+        start_epoch = 0
+        restored = ckpt.restore(params, opt_state)
+        if restored is not None:
+            params, opt_state, _extra, start_epoch = restored
+            start_epoch += 1
+            self.logger.info(f"Restored checkpoint; resuming at epoch {start_epoch}")
+
+        keep_prob = float(np.clip(getattr(config, "dropout", 1.0), 0.0, 1.0))
+        if keep_prob == 0.0:
+            keep_prob = 1.0  # guard nonsense configs (e.g. reference's 127)
+
+        batch_size = config.batch_size
+        n_batches = (len(train_set) + batch_size - 1) // batch_size
+        best_score = None
+
+        for epoch in range(start_epoch, config.n_epochs):
+            self.logger.info(f"Epoch {epoch + 1}/{config.n_epochs}")
+            tic = time.time()
+            prog = Progbar(n_batches)
+            pipeline = BatchPipeline(
+                train_set,
+                batch_size,
+                model.vocab.id_pad,
+                model.vocab.id_end,
+                buckets=getattr(config, "buckets", None),
+                max_formula_len=model.max_length,
+                sharding=self.sharding,
+            )
+
+            n_images = 0
+            for i, batch in enumerate(pipeline):
+                rng, step_rng = jax.random.split(rng)
+                n_real = int(batch.pop("n_real"))
+                params, opt_state, metrics = model.train_step(
+                    params, opt_state, batch, lr_schedule.lr, step_rng, keep_prob
+                )
+                n_images += n_real
+                lr_schedule.update(batch_no=epoch * n_batches + i)
+                if (i + 1) % 10 == 0 or i == 0:
+                    loss = float(metrics["loss"])
+                    prog.update(
+                        i + 1,
+                        [("loss", loss), ("perplexity", float(np.exp(min(20.0, loss)))),
+                         ("lr", lr_schedule.lr)],
+                    )
+            prog.update(n_batches, [])
+            elapsed = time.time() - tic
+            self.logger.info(
+                f"- Training: {prog.info} ({n_images / max(1e-6, elapsed):.1f} img/s)"
+            )
+
+            # ---- evaluation on val: decode + metrics, select on perplexity
+            scores = self.evaluate(
+                params, val_set, os.path.join(self.dir_output, "formulas_val/")
+            )
+            score = scores["perplexity_score"]
+            lr_schedule.update(score=score)
+
+            if best_score is None or score >= best_score:
+                best_score = score
+                self.logger.info(f"- New best score ({score:.4f})! Saving.")
+                ckpt.save(epoch, params, opt_state)
+            if lr_schedule.stop_training:
+                self.logger.info("- Early stopping.")
+                break
+            self.logger.info(
+                f"- Elapsed: {elapsed:.2f}s, lr: {lr_schedule.lr:.5f}"
+            )
+
+        ckpt.close()
+        self._final_params = params
+        return best_score
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(self, params, test_set, dir_answers: str) -> Dict[str, float]:
+        """Decode a labelled set, write ref/hyp files, compute metrics.
+
+        Returns text metrics plus ``perplexity`` (positive, reported) and
+        ``perplexity_score`` (sign-flipped, for model selection).
+        """
+        model = self.model
+        config = self.config
+        batch_size = getattr(config, "batch_size", 20)
+        pipeline = BatchPipeline(
+            test_set,
+            batch_size,
+            model.vocab.id_pad,
+            model.vocab.id_end,
+            buckets=getattr(config, "buckets", None),
+            max_formula_len=model.max_length,
+            sharding=self.sharding,
+        )
+
+        n_hyps = model.beam_size if model.decoding == "beam_search" else 1
+        refs: list = []
+        hyps: list = [[] for _ in range(n_hyps)]
+        ce_total = 0.0
+        n_total = 0
+
+        for batch in pipeline:
+            n_real = int(batch.pop("n_real"))
+            metrics = model.eval_step(params, batch)
+            ce_total += float(metrics["ce_words"])
+            n_total += int(metrics["n_words"])
+            ids = model.decode_step(params, batch["image"])  # (B, n_hyps, T)
+            ids = np.asarray(ids)
+            formula = np.asarray(batch["formula"])
+            lengths = np.asarray(batch["length"])
+            for b in range(n_real):
+                refs.append(formula[b, : lengths[b] - 1].tolist())  # strip END
+                for k in range(n_hyps):
+                    hyps[k].append(ids[b, k].tolist())
+
+        files = write_answers(
+            refs, hyps, model.vocab.id_to_tok, dir_answers, model.vocab.id_end
+        )
+        scores = score_files(files[0], files[1])
+        perp = float(np.exp(ce_total / max(1, n_total)))
+        scores["perplexity"] = perp
+        scores["perplexity_score"] = -perp
+        msg = " || ".join(f"{k} is {v:04.2f}" for k, v in scores.items())
+        self.logger.info(f"- Eval: {msg}")
+        return scores

@@ -3,12 +3,21 @@ paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unconditionally: the session environment pins JAX_PLATFORMS to
+# the real (tunneled) TPU, and eager test dispatch over the tunnel is both
+# slow and single-device.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The env var alone does not dislodge the session's axon TPU plugin; the
+# config update must happen before the backend initializes.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,74 @@
+"""Tests for text/image metrics — golden values match the reference
+definitions (nltk corpus BLEU-4, Levenshtein ratio, exact match)."""
+
+import numpy as np
+
+from latex_ocr_tpu.evaluation.text import (
+    bleu_score,
+    edit_distance,
+    exact_match_score,
+    levenshtein,
+    score_files,
+    write_answers,
+)
+from latex_ocr_tpu.evaluation.image import img_edit_distance, score_dirs
+
+
+def test_levenshtein_basics():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein([], [1, 2]) == 2
+    assert levenshtein([1, 2, 3], [1, 2, 3]) == 0
+    assert levenshtein(["a", "b"], ["b"]) == 1
+
+
+def test_exact_match_and_edit_distance():
+    refs = [["a", "b"], ["c"]]
+    hyps = [["a", "b"], ["d"]]
+    assert exact_match_score(refs, hyps) == 0.5
+    # lev: 0 + 1; maxlen: 2 + 1 -> 1 - 1/3
+    assert abs(edit_distance(refs, hyps) - (1 - 1 / 3)) < 1e-9
+
+
+def test_bleu_perfect_match():
+    refs = [["a", "b", "c", "d", "e"]]
+    assert abs(bleu_score(refs, refs) - 1.0) < 1e-9
+
+
+def test_write_answers_and_score_files(tmp_path):
+    rev_vocab = {0: "x", 1: "y", 2: "_END"}
+    refs = [[0, 1, 2], [1, 2]]
+    hyps = [[[0, 1, 2], [1, 2]]]  # perfect hypotheses (rank 0)
+    files = write_answers(refs, hyps, rev_vocab, str(tmp_path) + "/", id_end=2)
+    assert len(files) == 2
+    scores = score_files(files[0], files[1])
+    assert scores["ExactMatchScore"] == 100.0
+    assert scores["EditDistance"] == 100.0
+
+
+def test_img_edit_distance_identical_and_shifted():
+    img = np.full((8, 6, 1), 255, np.uint8)
+    img[2:5, 1:3, 0] = 0
+    dist, length = img_edit_distance(img, img)
+    assert dist == 0 and length == 6.0
+    shifted = np.roll(img, 1, axis=1)
+    dist2, _ = img_edit_distance(img, shifted)
+    assert dist2 > 0
+
+
+def test_score_dirs_missing_hyp(tmp_path):
+    from PIL import Image
+
+    ref_dir = tmp_path / "ref"
+    hyp_dir = tmp_path / "hyp"
+    ref_dir.mkdir()
+    hyp_dir.mkdir()
+    arr = np.full((8, 6), 255, np.uint8)
+    arr[2:4, 2:4] = 0
+    Image.fromarray(arr).save(ref_dir / "0.png")
+    Image.fromarray(arr).save(ref_dir / "1.png")
+    Image.fromarray(arr).save(hyp_dir / "0.png")  # hyp 1 missing
+
+    prepro = lambda x: x[:, :, None] if x.ndim == 2 else x
+    scores = score_dirs(str(ref_dir) + "/", str(hyp_dir) + "/", prepro)
+    assert scores["EM"] == 0.5  # one exact, one full miss
+    assert 0 < scores["Lev"] < 1

@@ -1,0 +1,214 @@
+"""Numerics tests for encoder, decoder, and decoding.
+
+Key invariants (SURVEY.md §4): encoder output shape follows the /8 - 2
+rule; scan teacher forcing == explicit python loop; greedy == beam(k=1)
+on argmax-unambiguous inputs; masked loss ignores padding; beams are
+sorted by score.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latex_ocr_tpu.models.decoder import (
+    AttnState,
+    attn_cell_step,
+    compute_att_img,
+    flatten_regions,
+    initial_state,
+    init_decoder_params,
+    masked_ce_loss,
+    shifted_embeddings,
+    teacher_forcing_logits,
+)
+from latex_ocr_tpu.models.decoding import decode_beam, decode_greedy, decode_greedy_with_attention
+from latex_ocr_tpu.models.encoder import encode, feature_grid_shape, init_encoder_params
+from latex_ocr_tpu.models.positional import add_timing_signal_nd
+from latex_ocr_tpu.utils import Config
+
+CFG = Config(
+    {
+        "encoder_cnn": "vanilla",
+        "positional_embeddings": True,
+        "attn_cell_config": {
+            "cell_type": "lstm",
+            "num_units": 16,
+            "dim_e": 12,
+            "dim_o": 16,
+            "dim_embeddings": 8,
+        },
+        "decoding": "beam_search",
+        "beam_size": 3,
+        "div_gamma": 1,
+        "div_prob": 0,
+        "max_length_formula": 15,
+    }
+)
+N_TOK = 11
+ID_END = N_TOK - 1
+
+
+@pytest.fixture(scope="module")
+def enc_params():
+    return init_encoder_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def dec_params():
+    return init_decoder_params(jax.random.PRNGKey(1), CFG, N_TOK, n_channels=512)
+
+
+def test_encoder_output_shape(enc_params):
+    img = jnp.zeros((2, 48, 112, 1), jnp.uint8)
+    feat = encode(enc_params, img, CFG)
+    hh, ww = feature_grid_shape(CFG, (48, 112))
+    assert feat.shape == (2, hh, ww, 512)
+    assert (hh, ww) == (48 // 8 - 2, 112 // 8 - 2)
+
+
+def test_encoder_normalization_range(enc_params):
+    # all-white and all-black inputs must not blow up
+    white = jnp.full((1, 48, 48, 1), 255, jnp.uint8)
+    black = jnp.zeros((1, 48, 48, 1), jnp.uint8)
+    fw = encode(enc_params, white, CFG)
+    fb = encode(enc_params, black, CFG)
+    assert jnp.isfinite(fw).all() and jnp.isfinite(fb).all()
+    assert not jnp.allclose(fw, fb)
+
+
+def test_positional_signal_distinguishes_positions():
+    x = jnp.zeros((1, 4, 6, 32))
+    y = add_timing_signal_nd(x)
+    assert y.shape == x.shape
+    # two distinct grid positions get distinct signals
+    assert not jnp.allclose(y[0, 0, 0], y[0, 1, 3])
+    # adding to zeros twice is deterministic
+    np.testing.assert_allclose(y, add_timing_signal_nd(x), rtol=1e-6)
+
+
+def test_shifted_embeddings_start_token(dec_params):
+    formula = jnp.array([[3, 4, 5]], jnp.int32)
+    emb = shifted_embeddings(dec_params, formula)
+    assert emb.shape == (1, 3, 8)
+    np.testing.assert_allclose(emb[0, 0], dec_params["start_token"], rtol=1e-6)
+    np.testing.assert_allclose(emb[0, 1], dec_params["embedding_table"][3], rtol=1e-6)
+
+
+def test_scan_equals_python_loop(dec_params):
+    """lax.scan teacher forcing must match a hand-rolled step loop."""
+    rng = jax.random.PRNGKey(2)
+    feat = jax.random.normal(rng, (2, 3, 4, 512), jnp.float32)
+    formula = jnp.array([[1, 2, 3, ID_END], [4, 5, ID_END, 0]], jnp.int32)
+
+    logits_scan = teacher_forcing_logits(dec_params, feat, formula)
+
+    regions = flatten_regions(feat)
+    att_img = compute_att_img(dec_params, regions)
+    state = initial_state(dec_params, regions)
+    embs = shifted_embeddings(dec_params, formula)
+    outs = []
+    for t in range(formula.shape[1]):
+        logits, state, _ = attn_cell_step(
+            dec_params, embs[:, t], state, att_img, regions
+        )
+        outs.append(logits)
+    logits_loop = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(logits_scan, logits_loop, rtol=2e-5, atol=2e-5)
+
+
+def test_masked_loss_ignores_padding(dec_params):
+    logits = jax.random.normal(jax.random.PRNGKey(3), (2, 4, N_TOK))
+    formula = jnp.array([[1, 2, ID_END, 0], [3, ID_END, 0, 0]], jnp.int32)
+    lengths = jnp.array([3, 2], jnp.int32)
+    loss, ce, n = masked_ce_loss(logits, formula, lengths)
+    # corrupting logits in padded positions must not change the loss
+    corrupted = logits.at[0, 3].set(100.0).at[1, 2].set(-50.0).at[1, 3].set(9.0)
+    loss2, ce2, n2 = masked_ce_loss(corrupted, formula, lengths)
+    np.testing.assert_allclose(loss, loss2, rtol=1e-6)
+    np.testing.assert_allclose(ce, ce2, rtol=1e-6)
+    assert int(n) == 5
+
+
+def test_greedy_matches_beam_k1(dec_params):
+    feat = jax.random.normal(jax.random.PRNGKey(4), (3, 2, 5, 512), jnp.float32)
+    T = 8
+    greedy = decode_greedy(dec_params, feat, T, ID_END)
+    beam = decode_beam(dec_params, feat, T, ID_END, beam_size=1)
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(beam.ids[:, 0, :]))
+
+
+def test_beam_scores_sorted_and_finite(dec_params):
+    feat = jax.random.normal(jax.random.PRNGKey(5), (2, 2, 4, 512), jnp.float32)
+    out = decode_beam(dec_params, feat, 8, ID_END, beam_size=3)
+    lp = np.asarray(out.log_probs)
+    assert out.ids.shape == (2, 3, 8)
+    assert (np.diff(lp, axis=1) <= 1e-5).all()  # descending scores
+    assert np.isfinite(lp).all()
+
+
+def test_beam_backtracking_alignment(dec_params):
+    """Each aligned beam must be a valid root-to-leaf path: its tokens all
+    come from the recorded ids via parent pointers. Check with brute force
+    on the raw buffers by re-running a small python beam search."""
+    feat = jax.random.normal(jax.random.PRNGKey(6), (1, 2, 3, 512), jnp.float32)
+    K, T = 3, 6
+    out = decode_beam(dec_params, feat, T, ID_END, beam_size=K)
+
+    # python reference beam search on the same step function
+    regions = flatten_regions(feat)
+    att_img = compute_att_img(dec_params, regions)
+    s0 = initial_state(dec_params, regions)
+    import itertools
+
+    beams = [([], 0.0, (s0.c[0], s0.h[0], s0.o[0]), False)]
+    for t in range(T):
+        cand = []
+        for toks, lp, (c, h, o), fin in beams:
+            if fin:
+                cand.append((toks + [ID_END], lp, (c, h, o), True))
+                continue
+            emb = (
+                dec_params["start_token"] if not toks
+                else dec_params["embedding_table"][toks[-1]]
+            )
+            state = AttnState(c[None], h[None], o[None])
+            logits, ns, _ = attn_cell_step(
+                dec_params, emb[None], state, att_img, regions
+            )
+            logp = jax.nn.log_softmax(logits[0])
+            for v in range(N_TOK):
+                cand.append(
+                    (toks + [v], lp + float(logp[v]), (ns.c[0], ns.h[0], ns.o[0]), v == ID_END)
+                )
+        cand.sort(key=lambda x: -x[1])
+        beams = cand[:K]
+        if all(b[3] for b in beams):
+            break
+
+    expected_best = beams[0][0]
+    got_best = list(np.asarray(out.ids[0, 0]))[: len(expected_best)]
+    assert got_best == expected_best
+
+
+def test_greedy_with_attention_shapes(dec_params):
+    feat = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 4, 512), jnp.float32)
+    ids, attn = decode_greedy_with_attention(dec_params, feat, 5, ID_END)
+    assert ids.shape == (2, 5)
+    assert attn.shape == (2, 5, 8)
+    np.testing.assert_allclose(np.asarray(attn.sum(-1)), 1.0, rtol=1e-4)
+
+
+def test_dropout_changes_logits_but_not_eval(dec_params):
+    feat = jax.random.normal(jax.random.PRNGKey(8), (1, 2, 3, 512), jnp.float32)
+    formula = jnp.array([[1, 2, ID_END]], jnp.int32)
+    base = teacher_forcing_logits(dec_params, feat, formula)
+    drop = teacher_forcing_logits(
+        dec_params, feat, formula, dropout_rng=jax.random.PRNGKey(9), keep_prob=0.5
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(drop))
+    # keep_prob=1 means no dropout even with an rng
+    same = teacher_forcing_logits(
+        dec_params, feat, formula, dropout_rng=jax.random.PRNGKey(9), keep_prob=1.0
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), rtol=1e-6)
