@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main() -> None:
+    from latex_ocr_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

@@ -1,0 +1,56 @@
+"""`evaluate_txt` CLI: restore a run, decode the test set, score text metrics.
+
+Mirrors reference evaluate_txt.py:16-49: reloads the config snapshot from
+the run dir, restores the best checkpoint, writes ref/hyp files and prints
+BLEU-4 / exact match / edit distance / perplexity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import click
+import jax
+
+from ..utils import Config
+from .common import build_dataset, compute_dtype_from, make_vocab
+
+
+@click.command()
+@click.option("--results", default="results/small/", help="Run dir with config snapshot + weights")
+@click.option("--batch_size", default=20)
+def main(results: str, batch_size: int) -> None:
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    config = Config(
+        [
+            os.path.join(results, "data.json"),
+            os.path.join(results, "vocab.json"),
+            os.path.join(results, "model.json"),
+        ]
+    )
+    config.batch_size = batch_size
+    vocab = make_vocab(config)
+
+    from ..models.img2seq import Img2SeqModel
+    from ..training.checkpoint import CheckpointManager
+    from ..training.trainer import Trainer
+
+    model = Img2SeqModel(config, vocab, compute_dtype=compute_dtype_from(config))
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(results, "model_weights"))
+    restored = ckpt.restore_params(params)
+    if restored is None:
+        raise click.ClickException(f"No checkpoint found under {results}model_weights")
+    params = restored
+
+    test_set = build_dataset(config, vocab, "test")
+    trainer = Trainer(model, config, results)
+    scores = trainer.evaluate(params, test_set, os.path.join(results, "formulas_test/"))
+    for k, v in scores.items():
+        click.echo(f"{k} = {v:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""`predict` CLI: interactive REPL — image path in, LaTeX out.
+
+Mirrors reference predict.py:13-54: accepts a .png (or .pdf when the
+ImageMagick toolchain is present: pdf -> png at density 200, crop to ink,
+pad to the 21-bucket table, LANCZOS downsample /2), greyscales, decodes on
+device and prints the top hypothesis.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import click
+import numpy as np
+
+from ..data.images import (
+    crop_image,
+    downsample_image,
+    greyscale,
+    pad_image,
+    read_img,
+)
+from ..utils import Config
+from .common import compute_dtype_from, make_vocab
+
+PDF_BUCKETS = [
+    [240, 100], [320, 80], [400, 80], [400, 100], [480, 80], [480, 100],
+    [560, 80], [560, 100], [640, 80], [640, 100], [720, 80], [720, 100],
+    [720, 120], [720, 200], [800, 100], [800, 320], [1000, 200],
+    [1000, 400], [1200, 200], [1600, 200], [1600, 1600],
+]
+
+
+def _pdf_to_png(path: str) -> str:
+    from ..utils.general import run
+
+    if shutil.which("magick") is None and shutil.which("convert") is None:
+        raise click.ClickException("PDF input requires ImageMagick")
+    magick = "magick convert" if shutil.which("magick") else "convert"
+    png = os.path.splitext(path)[0] + ".png"
+    run(f"{magick} -density 200 -quality 100 {path} {png}", 10)
+    crop_image(png, png)
+    pad_image(png, png, buckets=PDF_BUCKETS)
+    downsample_image(png, png, 2)
+    return png
+
+
+def load_model(results: str):
+    import jax
+
+    config = Config(
+        [os.path.join(results, "vocab.json"), os.path.join(results, "model.json")]
+    )
+    vocab = make_vocab(config)
+
+    from ..models.img2seq import Img2SeqModel
+    from ..training.checkpoint import CheckpointManager
+
+    model = Img2SeqModel(config, vocab, compute_dtype=compute_dtype_from(config))
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(os.path.join(results, "model_weights"))
+    restored = ckpt.restore_params(params)
+    if restored is None:
+        raise click.ClickException(f"No checkpoint found under {results}model_weights")
+    return model, restored
+
+
+def predict_image(model, params, img_path: str) -> str:
+    import jax.numpy as jnp
+
+    from ..data.pipeline import snap_image_shape
+
+    img = greyscale(read_img(img_path))
+    H, W = snap_image_shape(img.shape[:2], None)
+    batch = np.full((1, H, W, 1), 255, np.uint8)
+    batch[0, : img.shape[0], : img.shape[1]] = img
+    ids = model.decode_step(params, jnp.asarray(batch))
+    return model.ids_to_latex(np.asarray(ids)[0, 0])
+
+
+@click.command()
+@click.option("--results", default="results/full/")
+@click.option("--image", default=None, help="Decode one image and exit (no REPL)")
+def main(results: str, image: str | None) -> None:
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    model, params = load_model(results)
+
+    def handle(path: str) -> None:
+        path = path.strip()
+        if path.endswith(".pdf"):
+            path = _pdf_to_png(path)
+        hyp = predict_image(model, params, path)
+        click.echo(hyp)
+
+    if image is not None:
+        handle(image)
+        return
+
+    click.echo(
+        "Interactive mode: enter a path to a .png or .pdf formula image"
+        " (Ctrl-D to exit)"
+    )
+    while True:
+        try:
+            path = input("input> ")
+        except EOFError:
+            break
+        if not path.strip():
+            continue
+        try:
+            handle(path)
+        except FileNotFoundError:
+            click.echo(f"file not found: {path.strip()}")
+
+
+if __name__ == "__main__":
+    main()

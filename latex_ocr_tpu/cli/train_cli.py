@@ -1,0 +1,55 @@
+"""`train` CLI: compose 4 configs, snapshot them, train with LR schedule.
+
+Flags and flow mirror the reference train.py:12-61; the output run dir
+receives {data,vocab,training,model}.json snapshots so evaluate/predict
+reload the exact run configuration.
+"""
+
+from __future__ import annotations
+
+import click
+
+from ..utils import Config, LRSchedule
+from .common import build_dataset, compute_dtype_from, make_vocab
+
+
+@click.command()
+@click.option("--data", default="configs/data_small.json")
+@click.option("--vocab", default="configs/vocab_small.json")
+@click.option("--training", default="configs/training_small.json")
+@click.option("--model", default="configs/model.json")
+@click.option("--output", default="results/small/")
+def main(data: str, vocab: str, training: str, model: str, output: str) -> None:
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    config = Config([data, vocab, training, model])
+    config.save(output)
+    voc = make_vocab(config)
+
+    train_set = build_dataset(config, voc, "train")
+    val_set = build_dataset(config, voc, "val")
+
+    n_batches_epoch = (len(train_set) + config.batch_size - 1) // config.batch_size
+    lr_schedule = LRSchedule(
+        lr_init=config.lr_init,
+        lr_min=config.lr_min,
+        start_decay=config.start_decay * n_batches_epoch,
+        end_decay=config.end_decay * n_batches_epoch,
+        end_warm=(config.end_warm * n_batches_epoch) if getattr(config, "end_warm", 0) else None,
+        lr_warm=getattr(config, "lr_warm", 1e-4),
+        decay_rate=getattr(config, "decay_rate", None),
+        early_stopping=getattr(config, "early_stopping", None),
+    )
+
+    from ..models.img2seq import Img2SeqModel
+    from ..training.trainer import Trainer
+
+    model_obj = Img2SeqModel(config, voc, compute_dtype=compute_dtype_from(config))
+    trainer = Trainer(model_obj, config, output)
+    best = trainer.train(train_set, val_set, lr_schedule)
+    click.echo(f"Best validation score: {best}")
+
+
+if __name__ == "__main__":
+    main()

@@ -154,6 +154,29 @@ def attention_context(
     return ctx, a
 
 
+def attention_context_beam(
+    dec_params: Dict,
+    att_img: jnp.ndarray,  # (B, R, dim_e)   — shared across beams
+    regions: jnp.ndarray,  # (B, R, C)       — shared across beams
+    h: jnp.ndarray,  # (B, K, num_units)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam-aware Bahdanau attention: the image tensors stay un-tiled.
+
+    The reference tiles img/att_img `beam_size`-fold before every step
+    (attention_mechanism.py:59-65) — K x the HBM traffic. Broadcasting the
+    beam axis instead lets XLA fuse the tanh into the beta reduction and
+    run the context as one batched (K, R) @ (R, C) matmul per image.
+    Returns (context (B, K, C), weights (B, K, R)).
+    """
+    att = dec_params["att"]
+    att_h = h @ att["h_w"].astype(h.dtype)  # (B, K, dim_e)
+    e = jnp.tanh(att_img[:, None, :, :] + att_h[:, :, None, :])  # (B, K, R, dim_e)
+    scores = e @ att["beta"].astype(e.dtype)  # (B, K, R)
+    a = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(regions.dtype)
+    ctx = jnp.einsum("bkr,brc->bkc", a, regions)
+    return ctx, a
+
+
 def _dropout(x: jnp.ndarray, rng, keep_prob: float) -> jnp.ndarray:
     """Inverted dropout with TF semantics (keep_prob, scale by 1/keep)."""
     if rng is None or keep_prob >= 1.0:
@@ -189,6 +212,31 @@ def attn_cell_step(
     new_o = _dropout(new_o, k2, keep_prob)
     logits = new_o @ out["y_w_o"].astype(dt)
 
+    return logits, AttnState(new_c, new_h, new_o), attn
+
+
+def attn_cell_step_beam(
+    dec_params: Dict,
+    emb: jnp.ndarray,  # (B, K, dim_emb)
+    state: AttnState,  # fields shaped (B, K, *)
+    att_img: jnp.ndarray,  # (B, R, dim_e) un-tiled
+    regions: jnp.ndarray,  # (B, R, C)     un-tiled
+) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
+    """Beam-axis decoder step (inference only — no dropout).
+
+    Same math as `attn_cell_step` but all beam-tiled tensors keep the K
+    axis explicit so the image-side attention inputs are never repeated.
+    Returns (logits (B, K, V), new_state, attn (B, K, R)).
+    """
+    dt = regions.dtype
+    x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
+    new_c, new_h = lstm_step(dec_params["lstm"], x, state.c, state.h)
+
+    ctx, attn = attention_context_beam(dec_params, att_img, regions, new_h)
+
+    out = dec_params["out"]
+    new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))
+    logits = new_o @ out["y_w_o"].astype(dt)
     return logits, AttnState(new_c, new_h, new_o), attn
 
 

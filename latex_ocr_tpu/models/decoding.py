@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from .decoder import (
     AttnState,
     attn_cell_step,
+    attn_cell_step_beam,
     compute_att_img,
     flatten_regions,
     initial_state,
@@ -171,7 +172,7 @@ def decode_beam(
     rng: Optional[jax.Array] = None,
 ) -> BeamOutput:
     """Batched beam search, fully on device. Returns aligned beams (B, K, T)."""
-    regions = flatten_regions(img_feat)  # (B, R, C)
+    regions = flatten_regions(img_feat)  # (B, R, C) — never beam-tiled
     att_img = compute_att_img(dec_params, regions)
     B, R, C = regions.shape
     K, V = beam_size, dec_params["embedding_table"].shape[0]
@@ -179,12 +180,11 @@ def decode_beam(
     table = dec_params["embedding_table"]
     dt = regions.dtype
 
-    # beam-tiled image tensors: (B*K, R, *)
-    regions_k = jnp.repeat(regions, K, axis=0)
-    att_img_k = jnp.repeat(att_img, K, axis=0)
-
     s0 = initial_state(dec_params, regions)
-    state0 = AttnState(*(jnp.repeat(s, K, axis=0) for s in s0))  # (B*K, ...)
+    # broadcast the initial state over the beam axis: (B, K, *)
+    state0 = AttnState(
+        *(jnp.broadcast_to(s[:, None, :], (B, K, s.shape[-1])) for s in s0)
+    )
 
     emb0 = jnp.broadcast_to(dec_params["start_token"][None, None, :], (B, K, table.shape[1])).astype(dt)
     # only beam 0 is live at t=0 (equivalent to the reference's t==0 cond)
@@ -210,10 +210,10 @@ def decode_beam(
     def body(carry):
         t, state, emb, log_probs, finished, ids_buf, parents_buf, step_rng = carry
 
-        logits, new_state, _ = attn_cell_step(
-            dec_params, emb.reshape(B * K, -1), state, att_img_k, regions_k
+        logits, new_state, _ = attn_cell_step_beam(
+            dec_params, emb, state, att_img, regions
         )
-        step_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1).reshape(B, K, V)
+        step_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B, K, V)
         step_logp = _mask_finished(step_logp, finished, id_end)
 
         total = log_probs[:, :, None] + step_logp
@@ -227,9 +227,7 @@ def decode_beam(
         parents = (flat_idx // V).astype(jnp.int32)
 
         # reorder per-beam state by parent
-        state_bk = AttnState(*(s.reshape(B, K, -1) for s in new_state))
-        state_bk = AttnState(*(_gather_beams(s, parents) for s in state_bk))
-        new_state = AttnState(*(s.reshape(B * K, -1) for s in state_bk))
+        new_state = AttnState(*(_gather_beams(s, parents) for s in new_state))
 
         new_finished = jnp.logical_or(
             _gather_beams(finished, parents), new_ids == id_end

@@ -118,6 +118,22 @@ class Img2SeqModel:
         loss, (ce_words, n_words) = self._loss_fn(params, batch, None, 1.0)
         return {"loss": loss, "ce_words": ce_words, "n_words": n_words}
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_decode_step(self, params: Dict, batch: Dict[str, jnp.ndarray]):
+        """CE counters + decoded ids in ONE program (the reference fetches
+        ce_words/n_words/pred ids in a single sess.run, img2seq.py:236)."""
+        feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
+        logits = teacher_forcing_logits(params["decoder"], feat, batch["formula"])
+        loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
+        if self.decoding == "greedy":
+            ids = decode_greedy(params["decoder"], feat, self.max_length, self.id_end)[:, None, :]
+        else:
+            ids = decode_beam(
+                params["decoder"], feat, self.max_length, self.id_end,
+                self.beam_size, self.div_gamma, self.div_prob,
+            ).ids
+        return {"loss": loss, "ce_words": ce_words, "n_words": n_words}, ids
+
     # ------------------------------------------------------------- decode
     @functools.partial(jax.jit, static_argnums=(0,))
     def decode_step(self, params: Dict, images: jnp.ndarray) -> jnp.ndarray:

@@ -49,18 +49,23 @@ class CheckpointManager:
         )
         return restored["params"], restored["opt_state"], restored.get("extra", {}), step
 
-    def restore_params(self, params_like: Dict) -> Optional[Dict]:
-        """Restore only the parameters (for eval/predict builds)."""
+    def restore_params(self, params_like: Optional[Dict] = None) -> Optional[Dict]:
+        """Restore only the parameters (for eval/predict builds).
+
+        Restores the raw saved tree (no structural target needed) and
+        returns its ``params`` subtree; ``params_like`` is only used to
+        cast leaves back onto the expected dtypes/devices when given.
+        """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        target = {"params": params_like}
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.StandardRestore(target),
-            # partial restore: ignore opt_state/extra stored alongside
-        )
-        return restored["params"]
+        restored = self._mgr.restore(step)
+        params = restored["params"]
+        if params_like is not None:
+            params = jax.tree.map(
+                lambda like, x: jax.numpy.asarray(x, dtype=like.dtype), params_like, params
+            )
+        return params
 
     def close(self) -> None:
         self._mgr.close()

@@ -167,10 +167,9 @@ class Trainer:
 
         for batch in pipeline:
             n_real = int(batch.pop("n_real"))
-            metrics = model.eval_step(params, batch)
+            metrics, ids = model.eval_decode_step(params, batch)  # (B, n_hyps, T)
             ce_total += float(metrics["ce_words"])
             n_total += int(metrics["n_words"])
-            ids = model.decode_step(params, batch["image"])  # (B, n_hyps, T)
             ids = np.asarray(ids)
             formula = np.asarray(batch["formula"])
             lengths = np.asarray(batch["length"])

@@ -1,0 +1,25 @@
+"""Process-level JAX setup: persistent compilation cache, platform pinning.
+
+The TPU in this environment sits behind a tunnel whose compile latency is
+high-variance; a persistent compilation cache makes every program after
+the first run of a given shape load in milliseconds. Call
+``setup_jax()`` once at CLI entry, before any jax computation.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None, platform: str | None = None) -> None:
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "LATEX_OCR_JAX_CACHE", os.path.expanduser("~/.cache/latex_ocr_tpu/jax")
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

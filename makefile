@@ -1,0 +1,37 @@
+# latex_ocr_tpu pipelines (capability match for the reference makefile:31-53)
+
+# quick-start: 110-sample dataset, build -> train -> evaluate
+small: build-small train-small eval-small
+
+build-small:
+	python build.py --data=configs/data_small.json --vocab=configs/vocab_small.json
+
+train-small:
+	python train.py --data=configs/data_small.json --vocab=configs/vocab_small.json \
+		--training=configs/training_small.json --model=configs/model.json --output=results/small/
+
+eval-small:
+	python evaluate_txt.py --results=results/small/
+	python evaluate_img.py --results=results/small/
+
+# full im2latex-100k pipeline (requires the dataset under data/)
+full: build-full train-full eval-full
+
+build-full:
+	python build.py --data=configs/data.json --vocab=configs/vocab.json
+
+train-full:
+	python train.py --data=configs/data.json --vocab=configs/vocab.json \
+		--training=configs/training.json --model=configs/model.json --output=results/full/
+
+eval-full:
+	python evaluate_txt.py --results=results/full/
+	python evaluate_img.py --results=results/full/
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+.PHONY: small build-small train-small eval-small full build-full train-full eval-full test bench

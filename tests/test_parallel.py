@@ -1,0 +1,96 @@
+"""Multi-chip tests on the forced 8-device CPU mesh (SURVEY.md §4).
+
+Validates that the full train step compiles and executes under data
+parallelism, produces replicated parameters, and that gradients are
+averaged across shards exactly as a single-device step on the gathered
+batch would produce.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from latex_ocr_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def test_mesh_and_shardings(mesh):
+    assert mesh.shape == {"data": 8}
+    s = batch_sharding(mesh)
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = jax.device_put(x, s)
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_replicate_and_shard_batch(mesh):
+    tree = {"w": np.ones((4, 4), np.float32), "b": np.zeros(3, np.float32)}
+    rep = replicate(tree, mesh)
+    assert len(rep["w"].sharding.device_set) == 8
+
+    batch = {
+        "image": np.zeros((16, 8, 8, 1), np.uint8),
+        "formula": np.zeros((16, 5), np.int32),
+        "length": np.ones(16, np.int32),
+        "n_real": np.int32(16),
+    }
+    sb = shard_batch(batch, mesh)
+    assert sb["image"].sharding.spec == P("data")
+
+
+def test_graft_dryrun_multichip():
+    """The driver's multichip entry must work on the CPU mesh."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_dp_grads_match_single_device(mesh):
+    """DP-sharded train step == single-device step on the same batch."""
+    import __graft_entry__ as ge
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.utils import Config
+
+    config = Config(dict(ge.FLAGSHIP_MODEL, max_length_formula=7))
+    config.attn_cell_config = {
+        "cell_type": "lstm", "num_units": 16, "dim_e": 8, "dim_o": 16,
+        "dim_embeddings": 8,
+    }
+    vocab = ge._make_vocab(20)
+    model = Img2SeqModel(config, vocab)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    host_batch = ge._make_batch(8, 24, 40, 8, vocab.n_tok, vocab.id_end)
+
+    def run(params_in, batch_in):
+        opt_state = model.init_optimizer(params_in, "sgd", clip=-1)
+        p, _, m = model.train_step(
+            jax.tree.map(jnp.copy, params_in), opt_state, batch_in,
+            jnp.float32(0.1), jax.random.PRNGKey(1), 1.0,
+        )
+        return p, m
+
+    # single device
+    p1, m1 = run(params, {k: jnp.asarray(v) for k, v in host_batch.items()})
+    # data parallel
+    rep = replicate(params, mesh)
+    sb = shard_batch(host_batch, mesh)
+    p2, m2 = run(rep, sb)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
