@@ -193,6 +193,7 @@ def attn_cell_step(
     regions: jnp.ndarray,
     dropout_rng=None,
     keep_prob: float = 1.0,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
     """One decoder step. Returns (logits (B, V), new_state, attn (B, R))."""
     dt = regions.dtype
@@ -205,7 +206,16 @@ def attn_cell_step(
         k1 = k2 = None
     new_h = _dropout(new_h, k1, keep_prob)
 
-    ctx, attn = attention_context(dec_params, att_img, regions, new_h)
+    if use_pallas:
+        from ..ops.attention import fused_attention_context
+
+        att_h = new_h @ dec_params["att"]["h_w"].astype(dt)
+        ctx = fused_attention_context(
+            att_img, regions, att_h, dec_params["att"]["beta"].astype(dt), beams=1
+        )
+        attn = None
+    else:
+        ctx, attn = attention_context(dec_params, att_img, regions, new_h)
 
     out = dec_params["out"]
     new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))
@@ -221,18 +231,32 @@ def attn_cell_step_beam(
     state: AttnState,  # fields shaped (B, K, *)
     att_img: jnp.ndarray,  # (B, R, dim_e) un-tiled
     regions: jnp.ndarray,  # (B, R, C)     un-tiled
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
     """Beam-axis decoder step (inference only — no dropout).
 
     Same math as `attn_cell_step` but all beam-tiled tensors keep the K
     axis explicit so the image-side attention inputs are never repeated.
-    Returns (logits (B, K, V), new_state, attn (B, K, R)).
+    With ``use_pallas``, the attention context comes from the fused
+    Pallas kernel (ops/attention.py) — single VMEM pass, no (B,K,R,E)
+    intermediate; attention weights are not materialized on that path.
+    Returns (logits (B, K, V), new_state, attn (B, K, R) or None).
     """
     dt = regions.dtype
     x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
     new_c, new_h = lstm_step(dec_params["lstm"], x, state.c, state.h)
 
-    ctx, attn = attention_context_beam(dec_params, att_img, regions, new_h)
+    if use_pallas:
+        from ..ops.attention import fused_attention_context
+
+        B, K, _ = new_h.shape
+        att_h = (new_h @ dec_params["att"]["h_w"].astype(dt)).reshape(B * K, -1)
+        ctx = fused_attention_context(
+            att_img, regions, att_h, dec_params["att"]["beta"].astype(dt), beams=K
+        ).reshape(B, K, -1)
+        attn = None
+    else:
+        ctx, attn = attention_context_beam(dec_params, att_img, regions, new_h)
 
     out = dec_params["out"]
     new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))

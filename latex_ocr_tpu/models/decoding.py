@@ -51,6 +51,7 @@ def decode_greedy(
     img_feat: jnp.ndarray,  # (B, H, W, C) encoder output
     max_length: int,
     id_end: int,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Greedy argmax decode. Returns ids (B, max_length) int32.
 
@@ -72,7 +73,9 @@ def decode_greedy(
 
     def body(carry):
         t, state, emb, finished, ids = carry
-        logits, new_state, _ = attn_cell_step(dec_params, emb, state, att_img, regions)
+        logits, new_state, _ = attn_cell_step(
+            dec_params, emb, state, att_img, regions, use_pallas=use_pallas
+        )
         new_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # keep emitting END once finished so the output stays truncatable
         new_ids = jnp.where(finished, jnp.int32(id_end), new_ids)
@@ -170,6 +173,7 @@ def decode_beam(
     div_gamma: float = 1.0,
     div_prob: float = 0.0,
     rng: Optional[jax.Array] = None,
+    use_pallas: bool = False,
 ) -> BeamOutput:
     """Batched beam search, fully on device. Returns aligned beams (B, K, T)."""
     regions = flatten_regions(img_feat)  # (B, R, C) — never beam-tiled
@@ -211,7 +215,7 @@ def decode_beam(
         t, state, emb, log_probs, finished, ids_buf, parents_buf, step_rng = carry
 
         logits, new_state, _ = attn_cell_step_beam(
-            dec_params, emb, state, att_img, regions
+            dec_params, emb, state, att_img, regions, use_pallas=use_pallas
         )
         step_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B, K, V)
         step_logp = _mask_finished(step_logp, finished, id_end)

@@ -69,6 +69,12 @@ class Img2SeqModel:
         self.div_prob = getattr(config, "div_prob", 0.0)
         self.max_length = getattr(config, "max_length_formula", 150) + 1
         self._tx: Optional[optax.GradientTransformation] = None
+        pallas = getattr(config, "use_pallas_attention", "auto")
+        if pallas == "auto":
+            import jax as _jax
+
+            pallas = _jax.default_backend() not in ("cpu", "gpu")
+        self.use_pallas = bool(pallas)
 
     # ------------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> Dict:
@@ -126,11 +132,15 @@ class Img2SeqModel:
         logits = teacher_forcing_logits(params["decoder"], feat, batch["formula"])
         loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
         if self.decoding == "greedy":
-            ids = decode_greedy(params["decoder"], feat, self.max_length, self.id_end)[:, None, :]
+            ids = decode_greedy(
+                params["decoder"], feat, self.max_length, self.id_end,
+                use_pallas=self.use_pallas,
+            )[:, None, :]
         else:
             ids = decode_beam(
                 params["decoder"], feat, self.max_length, self.id_end,
                 self.beam_size, self.div_gamma, self.div_prob,
+                use_pallas=self.use_pallas,
             ).ids
         return {"loss": loss, "ce_words": ce_words, "n_words": n_words}, ids
 
@@ -140,11 +150,15 @@ class Img2SeqModel:
         """Decode a uint8 image batch to ids (B, n_hyps, T), best first."""
         feat = encode(params["encoder"], images, self.config, self.compute_dtype)
         if self.decoding == "greedy":
-            ids = decode_greedy(params["decoder"], feat, self.max_length, self.id_end)
+            ids = decode_greedy(
+                params["decoder"], feat, self.max_length, self.id_end,
+                use_pallas=self.use_pallas,
+            )
             return ids[:, None, :]
         out = decode_beam(
             params["decoder"], feat, self.max_length, self.id_end,
             self.beam_size, self.div_gamma, self.div_prob,
+            use_pallas=self.use_pallas,
         )
         return out.ids
 

@@ -1,24 +1,25 @@
 """Pallas TPU kernel: fused Bahdanau attention context.
 
-One decoder step computes, per query row q (a batch item, or a
-batch-item x beam pair):
+One decoder step computes, per query (a batch item x beam pair):
 
-    s_r   = beta . tanh(att_img[q, r] + att_h[q])     r = 1..R regions
+    s_r   = beta . tanh(att_img[b, r] + att_h[b, k])     r = 1..R regions
     a     = softmax(s)
-    ctx_q = sum_r a_r * regions[q, r]
+    ctx   = sum_r a_r * regions[b, r]
 
-The XLA version materializes the (Q, R, E) tanh intermediate in HBM every
-step. This kernel streams att_img/regions through VMEM in R-blocks with an
-online softmax (flash-attention style: running max m, running sum l, and a
-rescaled context accumulator), so per step each image tensor is read from
-HBM exactly once and nothing (Q, R, E)-sized is ever written back.
+The XLA version materializes the (B, K, R, E) tanh intermediate in HBM
+every step. This kernel streams att_img/regions through VMEM in R-blocks
+with an online softmax (flash-attention style: running max m, running sum
+l, rescaled context accumulator), so per step each image tensor is read
+from HBM exactly once and nothing (B, K, R, E)-sized is ever written.
 
-Beam sharing: for beam search the image tensors are shaped (B, R, *) while
-queries are (B*K, E); the BlockSpec index map `q // beams` reads the same
-image block for all K beams of a batch item without materializing K copies.
+Layout: grid = (B, R/block_r); each kernel instance handles ALL K beams
+of one image, so beam search shares the image block reads without any
+K-fold tiling. Block shapes keep the Mosaic constraint (last two dims
+divisible by (8, 128) or equal to the array dims) by putting (K, E) /
+(block_r, E) / (block_r, C) in the trailing positions.
 
-Used in the inference path (no VJP needed); training keeps the XLA formul-
-ation, whose backward pass XLA fuses well.
+Used in the inference path (no VJP needed); training keeps the XLA
+formulation, whose backward pass XLA fuses well.
 """
 
 from __future__ import annotations
@@ -34,14 +35,14 @@ NEG_INF = -1e30
 
 
 def _attention_kernel(
-    att_h_ref,  # (1, E)            query projection for this q
+    att_h_ref,  # (1, K, E)       all beam queries for this image
     beta_ref,  # (1, E)
-    att_img_ref,  # (1, Rb, E)      image keys block
-    regions_ref,  # (1, Rb, C)      image values block
-    ctx_ref,  # (1, C)              output context
-    m_ref,  # (1, 1) scratch        running max
-    l_ref,  # (1, 1) scratch        running sum of exp
-    acc_ref,  # (1, C) scratch      running rescaled context
+    att_img_ref,  # (1, Rb, E)    image keys block
+    regions_ref,  # (1, Rb, C)    image values block
+    ctx_ref,  # (1, K, C)         output contexts
+    m_ref,  # (K, 128) scratch    running max (col 0 used, full-width ops)
+    l_ref,  # (K, 128) scratch    running sum of exp
+    acc_ref,  # (K, C) scratch    running rescaled context
     *,
     r_total: int,
     block_r: int,
@@ -50,43 +51,47 @@ def _attention_kernel(
 
     @pl.when(r_idx == 0)
     def _init():
-        m_ref[0, 0] = NEG_INF
-        l_ref[0, 0] = 0.0
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # scores for this block: tanh(att_img + att_h) @ beta   -> (Rb,)
-    e = jnp.tanh(att_img_ref[0] + att_h_ref[0][None, :])  # (Rb, E)
-    s = jax.lax.dot_general(
-        e,
-        beta_ref[0][:, None],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )[:, 0]  # (Rb,)
+    ah = att_h_ref[0]  # (K, E)
+    K, E = ah.shape
+    Rb = att_img_ref.shape[1]
 
-    # mask out padding regions in the final partial block
+    # scores: beta . tanh(att_img + att_h)  -> (K, Rb), fp32
+    # (lane-dim multiply-reduce: Mosaic cannot reshape a bf16 row to a column
+    # for a matvec, and the VPU reduction is just as fast for E=256)
+    e = jnp.tanh(att_img_ref[0][None, :, :] + ah[:, None, :])  # (K, Rb, E)
+    s = jnp.sum(
+        e.astype(jnp.float32) * beta_ref[0][None, None, :].astype(jnp.float32),
+        axis=-1,
+    )  # (K, Rb)
+
+    # mask padding regions in the final partial block
     start = r_idx * block_r
-    r_ids = jax.lax.broadcasted_iota(jnp.int32, (block_r, 1), 0)[:, 0] + start
+    r_ids = jax.lax.broadcasted_iota(jnp.int32, (K, Rb), 1) + start
     s = jnp.where(r_ids < r_total, s, NEG_INF)
 
-    # online softmax update
-    m_prev = m_ref[0, 0]
-    m_new = jnp.maximum(m_prev, jnp.max(s))
-    p = jnp.exp(s - m_new)  # (Rb,)
-    scale = jnp.exp(m_prev - m_new)
-    l_ref[0, 0] = l_ref[0, 0] * scale + jnp.sum(p)
+    # online softmax update (per beam row)
+    m_prev = m_ref[:, 0:1]  # (K, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)  # (K, Rb)
+    scale = jnp.exp(m_prev - m_new)  # (K, 1)
+    l_ref[:, 0:1] = l_ref[:, 0:1] * scale + jnp.sum(p, axis=1, keepdims=True)
 
     pv = jax.lax.dot_general(
-        p[None, :].astype(regions_ref.dtype),
+        p.astype(regions_ref.dtype),
         regions_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (1, C)
+    )  # (K, C)
     acc_ref[...] = acc_ref[...] * scale + pv
-    m_ref[0, 0] = m_new
+    m_ref[:, 0:1] = m_new
 
     @pl.when(r_idx == pl.num_programs(1) - 1)
     def _finalize():
-        ctx_ref[...] = (acc_ref[...] / l_ref[0, 0]).astype(ctx_ref.dtype)
+        ctx_ref[0] = (acc_ref[...] / l_ref[:, 0:1]).astype(ctx_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("beams", "block_r", "interpret"))
@@ -96,54 +101,56 @@ def fused_attention_context(
     att_h: jnp.ndarray,  # (Q, E) with Q = B * beams
     beta: jnp.ndarray,  # (E,)
     beams: int = 1,
-    block_r: int = 512,
+    block_r: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused context vectors (Q, C); queries q map to image q // beams."""
+    """Fused context vectors (Q, C); queries of image b are rows b*K..b*K+K-1."""
     B, R, E = att_img.shape
     C = regions.shape[-1]
     Q = att_h.shape[0]
-    assert Q == B * beams, (Q, B, beams)
+    K = beams
+    assert Q == B * K, (Q, B, K)
 
-    block_r = min(block_r, _round_up(R, 128))
+    block_r = min(block_r, _round_up(R, 8))
     r_blocks = pl.cdiv(R, block_r)
     r_pad = r_blocks * block_r - R
     if r_pad:
         att_img = jnp.pad(att_img, ((0, 0), (0, r_pad), (0, 0)))
         regions = jnp.pad(regions, ((0, 0), (0, r_pad), (0, 0)))
 
-    kernel = functools.partial(_attention_kernel, r_total=R, block_r=block_r)
-    grid = (Q, r_blocks)
+    att_h_bk = att_h.reshape(B, K, E)
 
-    return pl.pallas_call(
+    kernel = functools.partial(_attention_kernel, r_total=R, block_r=block_r)
+    grid = (B, r_blocks)
+
+    ctx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, E), lambda q, r: (q, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, E), lambda q, r: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, E), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, E), lambda b, r: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, block_r, E),
-                lambda q, r, _b=beams: (q // _b, r, 0),
-                memory_space=pltpu.VMEM,
+                (1, block_r, E), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, block_r, C),
-                lambda q, r, _b=beams: (q // _b, r, 0),
-                memory_space=pltpu.VMEM,
+                (1, block_r, C), lambda b, r: (b, r, 0), memory_space=pltpu.VMEM
             ),
         ],
-        out_specs=pl.BlockSpec((1, C), lambda q, r: (q, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Q, C), regions.dtype),
+        out_specs=pl.BlockSpec(
+            (1, K, C), lambda b, r: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, K, C), regions.dtype),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
-            pltpu.VMEM((1, C), jnp.float32),
+            pltpu.VMEM((K, 128), jnp.float32),
+            pltpu.VMEM((K, 128), jnp.float32),
+            pltpu.VMEM((K, C), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(att_h, beta[None, :], att_img, regions)
+    )(att_h_bk, beta[None, :], att_img, regions)
+    return ctx.reshape(Q, C)
 
 
 def _round_up(x: int, m: int) -> int:
