@@ -90,6 +90,13 @@ def init_decoder_params(rng, config, n_tok: int, n_channels: int = 512) -> Dict:
             "y_w_o": _glorot_uniform(next(ks), (dim_o, n_tok)),
         },
     }
+    if cfg.get("gated_attention", False):
+        # Show-Attend-Tell gate: ctx *= sigmoid(h @ W_gate + b) — capability
+        # match for the torch path's f_beta gate (seq2seq_torch.py:195-320)
+        params["gate"] = {
+            "w": _glorot_uniform(next(ks), (num_units, n_channels)),
+            "b": jnp.zeros((n_channels,), jnp.float32),
+        }
     return params
 
 
@@ -185,6 +192,15 @@ def _dropout(x: jnp.ndarray, rng, keep_prob: float) -> jnp.ndarray:
     return jnp.where(mask, x / keep_prob, jnp.zeros_like(x))
 
 
+def _apply_gate(dec_params: Dict, h: jnp.ndarray, ctx: jnp.ndarray) -> jnp.ndarray:
+    """Optional Show-Attend-Tell context gate: ctx * sigmoid(h @ W + b)."""
+    gate = dec_params.get("gate")
+    if gate is None:
+        return ctx
+    g = jax.nn.sigmoid(h @ gate["w"].astype(h.dtype) + gate["b"].astype(h.dtype))
+    return ctx * g
+
+
 def attn_cell_step(
     dec_params: Dict,
     emb: jnp.ndarray,  # (B, dim_emb)
@@ -216,6 +232,7 @@ def attn_cell_step(
         attn = None
     else:
         ctx, attn = attention_context(dec_params, att_img, regions, new_h)
+    ctx = _apply_gate(dec_params, new_h, ctx)
 
     out = dec_params["out"]
     new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))
@@ -257,6 +274,7 @@ def attn_cell_step_beam(
         attn = None
     else:
         ctx, attn = attention_context_beam(dec_params, att_img, regions, new_h)
+    ctx = _apply_gate(dec_params, new_h, ctx)
 
     out = dec_params["out"]
     new_o = jnp.tanh(new_h @ out["o_w_h"].astype(dt) + ctx @ out["o_w_c"].astype(dt))
@@ -286,10 +304,13 @@ def teacher_forcing_logits(
     formula: jnp.ndarray,  # (B, T) int32 target ids
     dropout_rng=None,
     keep_prob: float = 1.0,
-) -> jnp.ndarray:
+    return_attention: bool = False,
+):
     """Full teacher-forced forward pass as one `lax.scan`.
 
-    Returns logits (B, T, V) in fp32.
+    Returns logits (B, T, V) in fp32; with ``return_attention`` also the
+    per-step attention maps (B, T, R) for the doubly-stochastic
+    regularizer / introspection.
     """
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -308,7 +329,7 @@ def teacher_forcing_logits(
 
     def step(state, inputs):
         emb_t, rng_t = inputs
-        logits, new_state, _ = attn_cell_step(
+        logits, new_state, attn = attn_cell_step(
             dec_params,
             emb_t,
             state,
@@ -317,10 +338,14 @@ def teacher_forcing_logits(
             dropout_rng=rng_t if use_dropout else None,
             keep_prob=keep_prob,
         )
-        return new_state, logits
+        out = (logits, attn) if return_attention else (logits, jnp.zeros((), logits.dtype))
+        return new_state, out
 
-    _, logits_t = jax.lax.scan(step, state0, (embs_t, step_rngs))
-    return jnp.swapaxes(logits_t, 0, 1).astype(jnp.float32)  # (B, T, V)
+    _, (logits_t, attn_t) = jax.lax.scan(step, state0, (embs_t, step_rngs))
+    logits = jnp.swapaxes(logits_t, 0, 1).astype(jnp.float32)  # (B, T, V)
+    if return_attention:
+        return logits, jnp.swapaxes(attn_t, 0, 1).astype(jnp.float32)  # (B, T, R)
+    return logits
 
 
 def masked_ce_loss(

@@ -49,21 +49,59 @@ _CONV_STACK = (
     ("conv6", (3, 3), 512, 512),
 )
 
+# residual family: stem + 4 stages of 2 residual blocks, widths chosen to end
+# at 512 channels with the same /8 - 2 spatial contract as "vanilla"
+_RESNET_WIDTHS = (64, 128, 256, 512)
+
+
+def _conv_param(rng, k_hw, c_in, c_out):
+    return {
+        "w": _glorot_uniform(rng, (*k_hw, c_in, c_out)),
+        "b": jnp.zeros((c_out,), jnp.float32),
+    }
+
 
 def init_encoder_params(rng, config) -> Dict[str, Dict[str, jnp.ndarray]]:
+    variant = getattr(config, "encoder_cnn", "vanilla")
     params: Dict[str, Dict[str, jnp.ndarray]] = {}
-    keys = jax.random.split(rng, len(_CONV_STACK) + 1)
-    for key, (name, k_hw, c_in, c_out) in zip(keys, _CONV_STACK):
-        params[name] = {
-            "w": _glorot_uniform(key, (*k_hw, c_in, c_out)),
-            "b": jnp.zeros((c_out,), jnp.float32),
-        }
-    if getattr(config, "encoder_cnn", "vanilla") == "cnn":
-        params["conv_stride"] = {
-            "w": _glorot_uniform(keys[-1], (2, 4, 512, 512)),
-            "b": jnp.zeros((512,), jnp.float32),
-        }
-    return params
+    if variant in ("vanilla", "cnn"):
+        keys = jax.random.split(rng, len(_CONV_STACK) + 1)
+        for key, (name, k_hw, c_in, c_out) in zip(keys, _CONV_STACK):
+            params[name] = _conv_param(key, k_hw, c_in, c_out)
+        if variant == "cnn":
+            params["conv_stride"] = _conv_param(keys[-1], (2, 4), 512, 512)
+        return params
+    if variant == "resnet":
+        ks = iter(jax.random.split(rng, 64))
+        params["stem"] = _conv_param(next(ks), (3, 3), 1, _RESNET_WIDTHS[0])
+        c_in = _RESNET_WIDTHS[0]
+        for si, width in enumerate(_RESNET_WIDTHS):
+            for bi in range(2):
+                blk = {
+                    "conv1": _conv_param(next(ks), (3, 3), c_in if bi == 0 else width, width),
+                    "conv2": _conv_param(next(ks), (3, 3), width, width),
+                }
+                if bi == 0 and c_in != width:
+                    blk["proj"] = _conv_param(next(ks), (1, 1), c_in, width)
+                params[f"stage{si}_block{bi}"] = blk
+            c_in = width
+        params["head"] = _conv_param(next(ks), (3, 3), 512, 512)
+        return params
+    if variant == "densenet":
+        ks = iter(jax.random.split(rng, 64))
+        growth = 64
+        params["stem"] = _conv_param(next(ks), (3, 3), 1, growth)
+        c = growth
+        for si in range(3):  # 3 dense stages, 3 layers each, then transition
+            for li in range(3):
+                params[f"dense{si}_layer{li}"] = _conv_param(next(ks), (3, 3), c, growth)
+                c += growth
+            out_c = min(512, c // 2) if si < 2 else 512
+            params[f"transition{si}"] = _conv_param(next(ks), (1, 1), c, out_c)
+            c = out_c
+        params["head"] = _conv_param(next(ks), (3, 3), 512, 512)
+        return params
+    raise NotImplementedError(f"Unknown encoder_cnn variant {variant!r}")
 
 
 def _conv2d(x, w, b, *, stride=(1, 1), padding="SAME"):
@@ -98,8 +136,16 @@ def encode(
 ) -> jnp.ndarray:
     """Encode a uint8 image batch (B, H, W, 1) into a feature grid.
 
-    Returns (B, H', W', 512) in ``compute_dtype``; for "vanilla",
-    H' = H/8 - 2 and W' = W/8 - 2.
+    Returns (B, H', W', 512) in ``compute_dtype`` with H' = H/8 - 2 and
+    W' = W/8 - 2 across all variants (same spatial contract, so the
+    attention-region geometry and the visualization reshape are shared).
+
+    Variants (capability surface of reference encoder.py:32-60 plus the
+    torch model zoo ResNet/DenseNet families, SURVEY.md §2.1):
+        vanilla  — conv/maxpool stack with asymmetric (2,1)/(1,2) pools
+        cnn      — strided linear conv replaces the asymmetric pools
+        resnet   — residual basic blocks, 4 stages
+        densenet — dense blocks with 1x1 transitions
     """
     from .positional import add_timing_signal_nd
 
@@ -107,21 +153,54 @@ def encode(
     x = (images_u8.astype(jnp.float32) - 128.0) / 128.0
     x = x.astype(compute_dtype)
 
-    x = jax.nn.relu(_conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
-    x = _max_pool(x, (2, 2), (2, 2))
-    x = jax.nn.relu(_conv2d(x, params["conv2"]["w"], params["conv2"]["b"]))
-    x = _max_pool(x, (2, 2), (2, 2))
-    x = jax.nn.relu(_conv2d(x, params["conv3"]["w"], params["conv3"]["b"]))
-    x = jax.nn.relu(_conv2d(x, params["conv4"]["w"], params["conv4"]["b"]))
-    if variant == "vanilla":
-        x = _max_pool(x, (2, 1), (2, 1))
-    x = jax.nn.relu(_conv2d(x, params["conv5"]["w"], params["conv5"]["b"]))
-    if variant == "vanilla":
-        x = _max_pool(x, (1, 2), (1, 2))
-    elif variant == "cnn":
-        # strided linear conv replaces the two asymmetric pools
-        x = _conv2d(x, params["conv_stride"]["w"], params["conv_stride"]["b"], stride=(2, 2))
-    x = jax.nn.relu(_conv2d(x, params["conv6"]["w"], params["conv6"]["b"], padding="VALID"))
+    if variant in ("vanilla", "cnn"):
+        x = jax.nn.relu(_conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))
+        x = _max_pool(x, (2, 2), (2, 2))
+        x = jax.nn.relu(_conv2d(x, params["conv2"]["w"], params["conv2"]["b"]))
+        x = _max_pool(x, (2, 2), (2, 2))
+        x = jax.nn.relu(_conv2d(x, params["conv3"]["w"], params["conv3"]["b"]))
+        x = jax.nn.relu(_conv2d(x, params["conv4"]["w"], params["conv4"]["b"]))
+        if variant == "vanilla":
+            x = _max_pool(x, (2, 1), (2, 1))
+        x = jax.nn.relu(_conv2d(x, params["conv5"]["w"], params["conv5"]["b"]))
+        if variant == "vanilla":
+            x = _max_pool(x, (1, 2), (1, 2))
+        else:
+            # strided linear conv replaces the two asymmetric pools
+            x = _conv2d(x, params["conv_stride"]["w"], params["conv_stride"]["b"], stride=(2, 2))
+        x = jax.nn.relu(_conv2d(x, params["conv6"]["w"], params["conv6"]["b"], padding="VALID"))
+    elif variant == "resnet":
+        x = jax.nn.relu(_conv2d(x, params["stem"]["w"], params["stem"]["b"]))
+        x = _max_pool(x, (2, 2), (2, 2))
+        for si in range(len(_RESNET_WIDTHS)):
+            for bi in range(2):
+                blk = params[f"stage{si}_block{bi}"]
+                y = jax.nn.relu(_conv2d(x, blk["conv1"]["w"], blk["conv1"]["b"]))
+                y = _conv2d(y, blk["conv2"]["w"], blk["conv2"]["b"])
+                sc = x
+                if "proj" in blk:
+                    sc = _conv2d(x, blk["proj"]["w"], blk["proj"]["b"])
+                x = jax.nn.relu(y + sc)
+            if si in (1, 2):  # two more /2 reductions -> total /8
+                x = _max_pool(x, (2, 2), (2, 2))
+        x = jax.nn.relu(_conv2d(x, params["head"]["w"], params["head"]["b"], padding="VALID"))
+    elif variant == "densenet":
+        x = jax.nn.relu(_conv2d(x, params["stem"]["w"], params["stem"]["b"]))
+        x = _max_pool(x, (2, 2), (2, 2))
+        for si in range(3):
+            feats = [x]
+            for li in range(3):
+                inp = jnp.concatenate(feats, axis=-1)
+                p = params[f"dense{si}_layer{li}"]
+                feats.append(jax.nn.relu(_conv2d(inp, p["w"], p["b"])))
+            x = jnp.concatenate(feats, axis=-1)
+            t = params[f"transition{si}"]
+            x = jax.nn.relu(_conv2d(x, t["w"], t["b"]))
+            if si < 2:
+                x = _max_pool(x, (2, 2), (2, 2))
+        x = jax.nn.relu(_conv2d(x, params["head"]["w"], params["head"]["b"], padding="VALID"))
+    else:
+        raise NotImplementedError(variant)
 
     if getattr(config, "positional_embeddings", True):
         x = add_timing_signal_nd(x)

@@ -91,11 +91,29 @@ class Img2SeqModel:
     # ------------------------------------------------------------ forward
     def _loss_fn(self, params, batch, dropout_rng, keep_prob):
         feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
-        logits = teacher_forcing_logits(
-            params["decoder"], feat, batch["formula"],
-            dropout_rng=dropout_rng, keep_prob=keep_prob,
-        )
+        alpha_c = float(getattr(self.config, "alpha_c", 0.0) or 0.0)
+        if alpha_c > 0.0:
+            logits, attn = teacher_forcing_logits(
+                params["decoder"], feat, batch["formula"],
+                dropout_rng=dropout_rng, keep_prob=keep_prob,
+                return_attention=True,
+            )
+        else:
+            logits = teacher_forcing_logits(
+                params["decoder"], feat, batch["formula"],
+                dropout_rng=dropout_rng, keep_prob=keep_prob,
+            )
         loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
+        if alpha_c > 0.0:
+            # doubly-stochastic attention regularizer (Show-Attend-Tell;
+            # torch reference getLoss, img2seq_torch.py:136-172):
+            # encourage each region's attention to sum to ~1 over time
+            mask = (
+                jnp.arange(batch["formula"].shape[1])[None, :, None]
+                < batch["length"][:, None, None]
+            )
+            alpha_sum = jnp.sum(attn * mask, axis=1)  # (B, R)
+            loss = loss + alpha_c * jnp.mean((1.0 - alpha_sum) ** 2)
         return loss, (ce_words, n_words)
 
     @functools.partial(jax.jit, static_argnums=(0, 6), donate_argnums=(1, 2))

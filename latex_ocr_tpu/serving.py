@@ -1,0 +1,155 @@
+"""Batch serving: bucketed dynamic batching for mixed-size formula images.
+
+The reference's only inference surface is a blocking REPL
+(reference predict.py:13-54). For production serving this module adds a
+bucket-aware dynamic batcher: requests are routed to the queue of the
+smallest bucket that fits, a queue flushes when it reaches
+``max_batch`` or when its oldest request has waited ``max_wait_ms``, and
+each flush decodes one static-shape batch on device — so the serving path
+reuses exactly the same compiled programs as offline eval
+(BASELINE.json config #5: bucketed batch-serving mix at fixed QPS).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .data.images import greyscale
+from .data.pipeline import snap_image_shape, stored_bucket_table
+
+
+@dataclass
+class _Request:
+    image: np.ndarray  # (H, W, 1) uint8
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.perf_counter)
+
+
+class LatexOCRServer:
+    """Dynamic-batching inference server over a trained Img2SeqModel."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        buckets: Optional[Sequence[Sequence[int]]] = None,
+        max_batch: int = 16,
+        max_wait_ms: float = 10.0,
+    ):
+        self.model = model
+        self.params = params
+        self.stored_buckets = stored_bucket_table(buckets)
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queues: Dict[Tuple[int, int], queue.Queue] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._serve_loop, daemon=True)
+        self._worker.start()
+        self.stats: List[Tuple[float, float]] = []  # (t_submit, latency)
+
+    # ------------------------------------------------------------------- API
+    def submit(self, image: np.ndarray) -> Future:
+        """Queue a raw (H, W[, 3]) uint8 image; resolves to a LaTeX string."""
+        img = greyscale(image)
+        shape = snap_image_shape(img.shape[:2], self.stored_buckets)
+        req = _Request(img)
+        with self._lock:
+            q = self._queues.setdefault(shape, queue.Queue())
+        q.put(req)
+        return req.future
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------ internals
+    def _serve_loop(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            flushed = False
+            with self._lock:
+                shapes = list(self._queues.items())
+            now = time.perf_counter()
+            for shape, q in shapes:
+                n = q.qsize()
+                if n == 0:
+                    continue
+                oldest = q.queue[0].t_submit if q.queue else now
+                if n >= self.max_batch or (now - oldest) >= self.max_wait_s:
+                    reqs = []
+                    while len(reqs) < self.max_batch:
+                        try:
+                            reqs.append(q.get_nowait())
+                        except queue.Empty:
+                            break
+                    if reqs:
+                        self._decode_batch(shape, reqs, jnp)
+                        flushed = True
+            if not flushed:
+                time.sleep(0.001)
+
+    def _decode_batch(self, shape, reqs: List[_Request], jnp) -> None:
+        H, W = shape
+        batch = np.full((self.max_batch, H, W, 1), 255, np.uint8)
+        for i, r in enumerate(reqs):
+            h, w = r.image.shape[:2]
+            batch[i, :h, :w] = r.image
+        try:
+            ids = np.asarray(self.model.decode_step(self.params, jnp.asarray(batch)))
+            t_done = time.perf_counter()
+            for i, r in enumerate(reqs):
+                r.future.set_result(self.model.ids_to_latex(ids[i, 0]))
+                self.stats.append((r.t_submit, t_done - r.t_submit))
+        except Exception as e:  # pragma: no cover - propagate to callers
+            for r in reqs:
+                if not r.future.done():
+                    r.future.set_exception(e)
+
+    # ------------------------------------------------------------- reporting
+    def latency_summary(self) -> Dict[str, float]:
+        if not self.stats:
+            return {}
+        lats = np.array([l for _, l in self.stats])
+        return {
+            "count": float(len(lats)),
+            "p50_ms": float(np.percentile(lats, 50) * 1e3),
+            "p95_ms": float(np.percentile(lats, 95) * 1e3),
+            "p99_ms": float(np.percentile(lats, 99) * 1e3),
+            "mean_ms": float(lats.mean() * 1e3),
+        }
+
+
+def run_qps_benchmark(
+    server: LatexOCRServer,
+    images: Sequence[np.ndarray],
+    qps: float,
+    duration_s: float,
+) -> Dict[str, float]:
+    """Submit a request mix at fixed QPS; returns latency/throughput stats."""
+    rng = np.random.default_rng(0)
+    interval = 1.0 / qps
+    futures = []
+    t_end = time.perf_counter() + duration_s
+    next_t = time.perf_counter()
+    while time.perf_counter() < t_end:
+        img = images[int(rng.integers(0, len(images)))]
+        futures.append(server.submit(img))
+        next_t += interval
+        sleep = next_t - time.perf_counter()
+        if sleep > 0:
+            time.sleep(sleep)
+    for f in futures:
+        f.result(timeout=120)
+    out = server.latency_summary()
+    out["offered_qps"] = qps
+    out["achieved_qps"] = len(futures) / duration_s
+    return out

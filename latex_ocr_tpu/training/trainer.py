@@ -23,6 +23,7 @@ import numpy as np
 from ..data.pipeline import BatchPipeline
 from ..evaluation.text import score_files, write_answers
 from ..utils.general import Progbar, get_logger, init_dir
+from ..utils.metrics import MetricsWriter, StepProfiler
 from .checkpoint import CheckpointManager
 
 
@@ -80,6 +81,8 @@ class Trainer:
         batch_size = config.batch_size
         n_batches = (len(train_set) + batch_size - 1) // batch_size
         best_score = None
+        metrics_writer = MetricsWriter(self.dir_output)
+        profiler = StepProfiler.from_config(config, self.dir_output)
 
         for epoch in range(start_epoch, config.n_epochs):
             self.logger.info(f"Epoch {epoch + 1}/{config.n_epochs}")
@@ -97,13 +100,16 @@ class Trainer:
 
             n_images = 0
             for i, batch in enumerate(pipeline):
+                step = epoch * n_batches + i
+                if profiler is not None:
+                    profiler.maybe_start(step)
                 rng, step_rng = jax.random.split(rng)
                 n_real = int(batch.pop("n_real"))
                 params, opt_state, metrics = model.train_step(
                     params, opt_state, batch, lr_schedule.lr, step_rng, keep_prob
                 )
                 n_images += n_real
-                lr_schedule.update(batch_no=epoch * n_batches + i)
+                lr_schedule.update(batch_no=step)
                 if (i + 1) % 10 == 0 or i == 0:
                     loss = float(metrics["loss"])
                     prog.update(
@@ -111,6 +117,13 @@ class Trainer:
                         [("loss", loss), ("perplexity", float(np.exp(min(20.0, loss)))),
                          ("lr", lr_schedule.lr)],
                     )
+                    metrics_writer.write(
+                        step,
+                        {"loss": loss, "lr": lr_schedule.lr, "keep_prob": keep_prob},
+                        epoch=epoch,
+                    )
+                if profiler is not None:
+                    profiler.maybe_stop(step)
             prog.update(n_batches, [])
             elapsed = time.time() - tic
             self.logger.info(
@@ -123,6 +136,12 @@ class Trainer:
             )
             score = scores["perplexity_score"]
             lr_schedule.update(score=score)
+            metrics_writer.write(
+                (epoch + 1) * n_batches,
+                {k: v for k, v in scores.items()},
+                epoch=epoch,
+                split="val",
+            )
 
             if best_score is None or score >= best_score:
                 best_score = score
@@ -136,6 +155,7 @@ class Trainer:
             )
 
         ckpt.close()
+        metrics_writer.close()
         self._final_params = params
         return best_score
 

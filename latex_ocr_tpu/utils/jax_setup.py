@@ -11,11 +11,19 @@ from __future__ import annotations
 import os
 
 
-def setup_jax(cache_dir: str | None = None, platform: str | None = None) -> None:
+def setup_jax(
+    cache_dir: str | None = None,
+    platform: str | None = None,
+    debug_nans: bool = False,
+) -> None:
     import jax
 
     if platform:
         jax.config.update("jax_platforms", platform)
+    if debug_nans or os.environ.get("LATEX_OCR_DEBUG_NANS"):
+        # debug config: fail fast on NaN/Inf in any jitted program
+        # (SURVEY.md §5 sanitizers row)
+        jax.config.update("jax_debug_nans", True)
     if cache_dir is None:
         cache_dir = os.environ.get(
             "LATEX_OCR_JAX_CACHE", os.path.expanduser("~/.cache/latex_ocr_tpu/jax")

@@ -1,0 +1,102 @@
+"""Tests: encoder variants, gated attention, alpha_c regularizer, serving."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latex_ocr_tpu.models.decoder import init_decoder_params, teacher_forcing_logits
+from latex_ocr_tpu.models.encoder import encode, feature_grid_shape, init_encoder_params
+from latex_ocr_tpu.models.img2seq import Img2SeqModel
+from latex_ocr_tpu.utils import Config
+
+ATTN_SMALL = {
+    "cell_type": "lstm", "num_units": 16, "dim_e": 8, "dim_o": 16,
+    "dim_embeddings": 8,
+}
+
+
+@pytest.mark.parametrize("variant", ["vanilla", "cnn", "resnet", "densenet"])
+def test_encoder_variants_shape_contract(variant):
+    cfg = Config({"encoder_cnn": variant, "positional_embeddings": True})
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    img = jnp.zeros((1, 48, 80, 1), jnp.uint8)
+    feat = encode(params, img, cfg)
+    hh, ww = feature_grid_shape(cfg, (48, 80))
+    assert feat.shape == (1, hh, ww, 512), variant
+    assert jnp.isfinite(feat).all()
+
+
+def test_gated_attention_params_and_forward():
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": dict(ATTN_SMALL, gated_attention=True),
+        "decoding": "greedy", "max_length_formula": 5,
+    })
+    dec = init_decoder_params(jax.random.PRNGKey(0), cfg, n_tok=9, n_channels=512)
+    assert "gate" in dec
+    feat = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 3, 512))
+    logits = teacher_forcing_logits(dec, feat, jnp.zeros((2, 4), jnp.int32))
+    assert logits.shape == (2, 4, 9)
+    # gate changes the output vs ungated params
+    dec_ungated = {k: v for k, v in dec.items() if k != "gate"}
+    logits2 = teacher_forcing_logits(dec_ungated, feat, jnp.zeros((2, 4), jnp.int32))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_alpha_c_regularizer_changes_loss_and_grads():
+    base = {
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 5,
+    }
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: str(i) for i in range(9)}
+        tok_to_id = {str(i): i for i in range(9)}
+
+    batch = {
+        "image": np.random.default_rng(0).integers(0, 255, (2, 48, 48, 1)).astype(np.uint8),
+        "formula": np.array([[1, 2, 8, 7], [3, 8, 7, 7]], np.int32),
+        "length": np.array([3, 2], np.int32),
+    }
+    m0 = Img2SeqModel(Config(dict(base, alpha_c=0.0)), _V())
+    m1 = Img2SeqModel(Config(dict(base, alpha_c=1.0)), _V())
+    p = m0.init_params(jax.random.PRNGKey(0))
+    l0, _ = m0._loss_fn(p, batch, None, 1.0)
+    l1, _ = m1._loss_fn(p, batch, None, 1.0)
+    assert float(l1) > float(l0)  # penalty is positive at init
+    g = jax.grad(lambda pp: m1._loss_fn(pp, batch, None, 1.0)[0])(p)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_serving_dynamic_batching():
+    from latex_ocr_tpu.serving import LatexOCRServer, run_qps_benchmark
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    server = LatexOCRServer(model, params, buckets=[[96, 96]], max_batch=4, max_wait_ms=5)
+    try:
+        rng = np.random.default_rng(1)
+        imgs = [rng.integers(0, 255, (40, 44, 1)).astype(np.uint8) for _ in range(6)]
+        futures = [server.submit(img) for img in imgs]
+        results = [f.result(timeout=120) for f in futures]
+        assert len(results) == 6
+        assert all(isinstance(r, str) for r in results)
+        stats = server.latency_summary()
+        assert stats["count"] == 6
+        assert stats["p50_ms"] > 0
+    finally:
+        server.close()
