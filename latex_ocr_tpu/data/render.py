@@ -89,14 +89,14 @@ def _clean(dir_output: str, name: str) -> None:
 
 
 def _build_one(item) -> Tuple[Union[str, bool], int]:
-    idx, formula, dir_images, quality, density, down_ratio, buckets, synthetic = item
+    idx, formula, dir_images, quality, density, down_ratio, buckets, synthetic, handwritten = item
     name = str(idx)
     if synthetic:
         from .synthetic import render_synthetic_formula
 
         ok = render_synthetic_formula(
             formula, os.path.join(dir_images, f"{name}.png"), buckets=buckets,
-            down_ratio=down_ratio,
+            down_ratio=down_ratio, handwritten=handwritten,
         )
         return (f"{name}.png" if ok else False, idx)
     path = convert_to_png(formula, dir_images, name, quality, density, down_ratio, buckets)
@@ -112,6 +112,7 @@ def build_images(
     buckets: Optional[Sequence[Sequence[int]]] = None,
     n_threads: int = 4,
     force_synthetic: bool = False,
+    handwritten: bool = False,
 ) -> List[Tuple[Union[str, bool], int]]:
     """Render all formulas in parallel; skip images already on disk.
 
@@ -131,7 +132,7 @@ def build_images(
         print("LaTeX toolchain not found — using the synthetic glyph renderer.")
 
     todo = [
-        (idx, form, dir_images, quality, density, down_ratio, buckets, synthetic)
+        (idx, form, dir_images, quality, density, down_ratio, buckets, synthetic, handwritten)
         for idx, form in formulas.items()
         if idx not in set(existing)
     ]

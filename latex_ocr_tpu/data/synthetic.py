@@ -57,24 +57,43 @@ def token_glyph(token: str) -> np.ndarray:
     return g
 
 
-def render_formula_array(formula: str) -> np.ndarray:
-    """Render a formula into an (H, W) uint8 array, white background."""
+def render_formula_array(formula: str, handwritten: bool = False, seed: int = 0) -> np.ndarray:
+    """Render a formula into an (H, W) uint8 array, white background.
+
+    ``handwritten`` adds per-instance deformation (glyph jitter, variable
+    advance, stroke dropout, background speckle) to emulate a
+    CROHME-style handwritten distribution — harder inputs, same task
+    (BASELINE.json config #4).
+    """
     tokens = [t for t in formula.strip().split(" ") if t]
     if not tokens:
         tokens = ["?"]
-    width = len(tokens) * (GLYPH_W + 2) + 2 * _BASELINE_PAD
-    height = GLYPH_H + 4 * _BASELINE_PAD
+    rng = np.random.default_rng(zlib.crc32(formula.encode()) ^ seed)
+    width = len(tokens) * (GLYPH_W + 4) + 2 * _BASELINE_PAD
+    height = GLYPH_H + 6 * _BASELINE_PAD
     canvas = np.zeros((height, width), dtype=np.uint8)
     x = _BASELINE_PAD
     for i, tok in enumerate(tokens):
         # deterministic per-position baseline jitter (sub/superscript flavour)
         dy = (zlib.crc32(f"{tok}:{i}".encode()) % (2 * _BASELINE_PAD)) - _BASELINE_PAD
-        y = 2 * _BASELINE_PAD + dy
+        glyph = token_glyph(tok)
+        if handwritten:
+            dy += int(rng.integers(-3, 4))
+            dx = int(rng.integers(-1, 3))
+            if rng.random() < 0.3:  # stroke dropout
+                mask = rng.random(glyph.shape) > 0.15
+                glyph = glyph * mask
+            x += dx
+        y = min(max(0, 2 * _BASELINE_PAD + dy), height - GLYPH_H)
         canvas[y : y + GLYPH_H, x : x + GLYPH_W] = np.maximum(
-            canvas[y : y + GLYPH_H, x : x + GLYPH_W], token_glyph(tok)
+            canvas[y : y + GLYPH_H, x : x + GLYPH_W], glyph
         )
-        x += GLYPH_W + 2
-    return 255 - canvas  # ink is dark on white
+        x += GLYPH_W + (int(rng.integers(1, 5)) if handwritten else 2)
+    out = 255 - canvas  # ink is dark on white
+    if handwritten:
+        speckle = rng.random(out.shape) < 0.003
+        out = np.where(speckle, 128, out).astype(np.uint8)
+    return out
 
 
 def render_synthetic_formula(
@@ -83,10 +102,11 @@ def render_synthetic_formula(
     buckets: Optional[Sequence[Sequence[int]]] = None,
     down_ratio: int = 2,
     pad: int = 8,
+    handwritten: bool = False,
 ) -> bool:
     """Render a formula PNG with the same crop/pad/bucket/downsample contract
     as the LaTeX pipeline."""
-    arr = render_formula_array(formula)
+    arr = render_formula_array(formula, handwritten=handwritten)
 
     # crop to ink
     ys, xs = np.where(arr != 255)
@@ -119,6 +139,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     buckets: Optional[Sequence[Sequence[int]]] = None,
     n_threads: int = 4,
+    handwritten: bool = False,
 ) -> dict:
     """Generate a complete small dataset (formulas + images + matching +
     vocab) under ``out_dir``. Returns the path dict used to build configs."""
@@ -149,7 +170,7 @@ def make_synthetic_dataset(
         matching_path = os.path.join(out_dir, f"{split}.matching.txt")
         result = build_images(
             dict(enumerate(formulas)), dir_images, buckets=buckets,
-            n_threads=n_threads, force_synthetic=True,
+            n_threads=n_threads, force_synthetic=True, handwritten=handwritten,
         )
         with open(matching_path, "w") as f:
             for path_img, idx in sorted(result, key=lambda r: r[1]):

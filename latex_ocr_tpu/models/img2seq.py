@@ -189,6 +189,33 @@ class Img2SeqModel:
         )
 
     # --------------------------------------------------------- host utils
+    def predict_batch(self, params: Dict, images) -> list:
+        """Decode a list of raw (H, W, 1) uint8 images.
+
+        Returns hyps[rank][i] = LaTeX string — the reference's
+        predict_batch contract (img2seq.py:256-276).
+        """
+        import numpy as np
+
+        from ..data.images import get_max_shape
+        from ..data.pipeline import snap_image_shape
+
+        H, W = snap_image_shape(get_max_shape(images)[:2], None)
+        batch = np.full((len(images), H, W, 1), 255, np.uint8)
+        for i, img in enumerate(images):
+            batch[i, : img.shape[0], : img.shape[1]] = img
+        ids = np.asarray(self.decode_step(params, jnp.asarray(batch)))
+        n_hyps = ids.shape[1]
+        return [
+            [self.ids_to_latex(ids[b, k]) for b in range(len(images))]
+            for k in range(n_hyps)
+        ]
+
+    def predict(self, params: Dict, img) -> list:
+        """Decode one image; returns [best hyp, 2nd hyp, ...]."""
+        hyps = self.predict_batch(params, [img])
+        return [h[0] for h in hyps]
+
     def ids_to_latex(self, ids) -> str:
         """Detokenize one id sequence, truncating at END."""
         from ..data.vocab import truncate_end
