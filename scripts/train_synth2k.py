@@ -21,7 +21,7 @@ cfg = Config({
     "max_length_formula": 31,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
     "path_vocab": base + "vocab.txt",
-    "batch_size": 64, "n_epochs": 40, "dropout": 1.0, "clip": 5.0,
+    "batch_size": 64, "n_epochs": 200, "dropout": 1.0, "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0,
 })
 vocab = Vocab(cfg)
@@ -31,7 +31,7 @@ def ds(split):
                          base + f"{split}.matching.txt", img_prepro=default_img_prepro,
                          form_prepro=vocab.form_prepro, bucket=True, bucket_size=64, max_len=31)
 trainer = Trainer(model, cfg, "results/synth2k/")
-lr = LRSchedule(lr_init=1e-3, lr_min=1e-5, start_decay=400, end_decay=1200)
+lr = LRSchedule(lr_init=1e-3, lr_min=1e-5, start_decay=5000, end_decay=6400)
 t0 = time.time()
 best = trainer.train(ds("train"), ds("val"), lr)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
