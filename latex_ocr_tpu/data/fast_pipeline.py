@@ -1,0 +1,145 @@
+"""Cached input pipeline: decode once, native batch assembly every epoch.
+
+Production counterpart of `BatchPipeline`: instead of re-reading and
+re-decoding PNGs per epoch (the reference re-decodes per step via
+scipy imread, data_generator.py:166), all images are decoded once into a
+RawImageCache (mmap blob) and every epoch assembles white-padded batches
+with the multithreaded native batcher. Shape-bucketed grouping happens on
+the cached index arrays — no image bytes move until assembly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .cache import RawImageCache
+from .pipeline import snap_image_shape, snap_length, stored_bucket_table
+from .vocab import load_formulas, pad_batch_formulas
+
+
+class CachedBatchPipeline:
+    """Static-shape batches from a RawImageCache + tokenized formulas."""
+
+    def __init__(
+        self,
+        cache: RawImageCache,
+        formulas: Sequence[Sequence[int]],  # token ids, aligned with cache
+        batch_size: int,
+        id_pad: int,
+        id_end: int,
+        buckets: Optional[Sequence[Sequence[int]]] = None,
+        length_bucket: int = 32,
+        max_formula_len: int = 151,
+        sharding=None,
+        shuffle_seed: Optional[int] = None,
+        n_threads: int = 8,
+    ):
+        assert len(cache) == len(formulas), (len(cache), len(formulas))
+        self.cache = cache
+        self.formulas = [np.asarray(f, np.int32) for f in formulas]
+        self.batch_size = batch_size
+        self.id_pad = id_pad
+        self.id_end = id_end
+        self.stored_buckets = stored_bucket_table(buckets)
+        self.length_bucket = length_bucket
+        self.max_formula_len = max_formula_len
+        self.sharding = sharding
+        self.shuffle_seed = shuffle_seed
+        self.n_threads = n_threads
+        self._epoch = 0
+
+        # group example indices by snapped image shape (the static contract)
+        self._groups: Dict[Tuple[int, int], List[int]] = {}
+        for i in range(len(cache)):
+            shape = snap_image_shape(cache.shape(i), self.stored_buckets)
+            self._groups.setdefault(shape, []).append(i)
+
+    def __len__(self) -> int:
+        return sum(
+            (len(g) + self.batch_size - 1) // self.batch_size
+            for g in self._groups.values()
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import jax
+
+        rng = (
+            np.random.default_rng(self.shuffle_seed + self._epoch)
+            if self.shuffle_seed is not None
+            else None
+        )
+        self._epoch += 1
+
+        order: List[Tuple[Tuple[int, int], np.ndarray]] = []
+        for shape, idxs in self._groups.items():
+            arr = np.asarray(idxs, np.int32)
+            if rng is not None:
+                rng.shuffle(arr)
+            for start in range(0, len(arr), self.batch_size):
+                order.append((shape, arr[start : start + self.batch_size]))
+        if rng is not None:
+            rng.shuffle(order)
+
+        for (H, W), idxs in order:
+            image = self.cache.batch(idxs, self.batch_size, H, W, self.n_threads)
+
+            forms = [self.formulas[i] for i in idxs]
+            max_len = max(len(f) for f in forms)
+            T = snap_length(max_len + 1, self.length_bucket, self.max_formula_len)
+            formula, lengths = pad_batch_formulas(forms, self.id_pad, self.id_end, max_len=T - 1)
+            if len(idxs) < self.batch_size:
+                pad_n = self.batch_size - len(idxs)
+                formula = np.concatenate(
+                    [formula, np.full((pad_n, T), self.id_pad, np.int32)]
+                )
+                lengths = np.concatenate([lengths, np.zeros(pad_n, np.int32)])
+
+            batch = {
+                "image": image,
+                "formula": formula,
+                "length": lengths,
+                "n_real": np.int32(len(idxs)),
+            }
+            if self.sharding is not None:
+                batch = {
+                    k: jax.device_put(v, self.sharding if np.ndim(v) else None)
+                    for k, v in batch.items()
+                }
+            yield batch
+
+
+def build_cached_pipeline(
+    path_formulas: str,
+    dir_images: str,
+    path_matching: str,
+    form_prepro: Callable,
+    cache_dir: str,
+    batch_size: int,
+    id_pad: int,
+    id_end: int,
+    max_len: Optional[int] = None,
+    **kwargs,
+) -> CachedBatchPipeline:
+    """Construct the cached pipeline from the reference's file contract."""
+    formulas_raw = load_formulas(path_formulas)
+    paths: List[str] = []
+    token_lists: List[Sequence[int]] = []
+    with open(path_matching) as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            if len(parts) < 2:
+                continue
+            img_path, formula_id = parts[0], int(parts[1])
+            tokens = form_prepro(formulas_raw[formula_id])
+            if max_len is not None and len(tokens) > max_len:
+                continue
+            paths.append(os.path.join(dir_images, img_path))
+            token_lists.append(tokens)
+
+    cache = RawImageCache.build(paths, cache_dir)
+    return CachedBatchPipeline(
+        cache, token_lists, batch_size, id_pad, id_end, **kwargs
+    )

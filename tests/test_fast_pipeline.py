@@ -1,0 +1,78 @@
+"""Tests for the cached native input pipeline."""
+
+import numpy as np
+
+from latex_ocr_tpu.data.fast_pipeline import build_cached_pipeline
+from latex_ocr_tpu.data.pipeline import BatchPipeline
+from latex_ocr_tpu.data.generator import DataGenerator, default_img_prepro
+from latex_ocr_tpu.data.vocab import Vocab
+from latex_ocr_tpu.utils import Config
+
+
+def _vocab(small_dataset):
+    return Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
+                         "path_vocab": small_dataset["path_vocab"]}))
+
+
+def test_cached_pipeline_matches_slow_pipeline(small_dataset, tmp_path):
+    vocab = _vocab(small_dataset)
+    fast = build_cached_pipeline(
+        small_dataset["path_formulas_train"],
+        small_dataset["dir_images_train"],
+        small_dataset["path_matching_train"],
+        vocab.form_prepro,
+        str(tmp_path / "cache"),
+        batch_size=8,
+        id_pad=vocab.id_pad,
+        id_end=vocab.id_end,
+        max_len=50,
+        buckets=small_dataset["buckets"],
+        max_formula_len=51,
+    )
+    batches = list(fast)
+    assert len(batches) == len(fast)
+    total = sum(int(b["n_real"]) for b in batches)
+    assert total == 40
+
+    # batch contents must agree with the slow (PIL per item) pipeline on
+    # aggregate statistics: same image bytes per example set
+    slow_ds = DataGenerator(
+        small_dataset["path_formulas_train"], small_dataset["dir_images_train"],
+        small_dataset["path_matching_train"], img_prepro=default_img_prepro,
+        form_prepro=vocab.form_prepro, max_len=50,
+    )
+    slow_ink = sorted(int((img != 255).sum()) for img, _ in slow_ds)
+    fast_ink = []
+    for b in batches:
+        for i in range(int(b["n_real"])):
+            fast_ink.append(int((b["image"][i] != 255).sum()))
+    assert sorted(fast_ink) == slow_ink
+
+    for b in batches:
+        assert b["image"].dtype == np.uint8
+        assert b["image"].shape[0] == 8
+        assert b["formula"].dtype == np.int32
+        # every real row ends with END at position length-1
+        for i in range(int(b["n_real"])):
+            L = int(b["length"][i])
+            assert b["formula"][i, L - 1] == vocab.id_end
+
+
+def test_cached_pipeline_shuffles_between_epochs(small_dataset, tmp_path):
+    vocab = _vocab(small_dataset)
+    fast = build_cached_pipeline(
+        small_dataset["path_formulas_train"],
+        small_dataset["dir_images_train"],
+        small_dataset["path_matching_train"],
+        vocab.form_prepro,
+        str(tmp_path / "cache2"),
+        batch_size=8,
+        id_pad=vocab.id_pad,
+        id_end=vocab.id_end,
+        buckets=small_dataset["buckets"],
+        max_formula_len=51,
+        shuffle_seed=0,
+    )
+    first = [b["formula"].tobytes() for b in fast]
+    second = [b["formula"].tobytes() for b in fast]
+    assert first != second  # epoch reshuffle
