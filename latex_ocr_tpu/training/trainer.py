@@ -47,6 +47,24 @@ class Trainer:
 
             self.sharding = batch_sharding(mesh)
 
+    def _make_pipeline(self, dataset_or_pipeline, batch_size):
+        """Accept a DataGenerator (wrapped per the slow path) or a
+        ready-made pipeline object (e.g. CachedBatchPipeline) directly."""
+        if hasattr(dataset_or_pipeline, "id_pad") or hasattr(
+            dataset_or_pipeline, "cache"
+        ):
+            return dataset_or_pipeline  # already a pipeline
+        model = self.model
+        return BatchPipeline(
+            dataset_or_pipeline,
+            batch_size,
+            model.vocab.id_pad,
+            model.vocab.id_end,
+            buckets=getattr(self.config, "buckets", None),
+            max_formula_len=model.max_length,
+            sharding=self.sharding,
+        )
+
     # ------------------------------------------------------------------ train
     def train(self, train_set, val_set, lr_schedule) -> Optional[float]:
         config = self.config
@@ -79,7 +97,11 @@ class Trainer:
             keep_prob = 1.0  # guard nonsense configs (e.g. reference's 127)
 
         batch_size = config.batch_size
-        n_batches = (len(train_set) + batch_size - 1) // batch_size
+        train_pipeline = self._make_pipeline(train_set, batch_size)
+        if hasattr(train_pipeline, "__len__"):
+            n_batches = len(train_pipeline)
+        else:
+            n_batches = (len(train_set) + batch_size - 1) // batch_size
         best_score = None
         metrics_writer = MetricsWriter(self.dir_output)
         profiler = StepProfiler.from_config(config, self.dir_output)
@@ -88,18 +110,9 @@ class Trainer:
             self.logger.info(f"Epoch {epoch + 1}/{config.n_epochs}")
             tic = time.time()
             prog = Progbar(n_batches)
-            pipeline = BatchPipeline(
-                train_set,
-                batch_size,
-                model.vocab.id_pad,
-                model.vocab.id_end,
-                buckets=getattr(config, "buckets", None),
-                max_formula_len=model.max_length,
-                sharding=self.sharding,
-            )
 
             n_images = 0
-            for i, batch in enumerate(pipeline):
+            for i, batch in enumerate(train_pipeline):
                 step = epoch * n_batches + i
                 if profiler is not None:
                     profiler.maybe_start(step)
@@ -169,15 +182,7 @@ class Trainer:
         model = self.model
         config = self.config
         batch_size = getattr(config, "batch_size", 20)
-        pipeline = BatchPipeline(
-            test_set,
-            batch_size,
-            model.vocab.id_pad,
-            model.vocab.id_end,
-            buckets=getattr(config, "buckets", None),
-            max_formula_len=model.max_length,
-            sharding=self.sharding,
-        )
+        pipeline = self._make_pipeline(test_set, batch_size)
 
         n_hyps = model.beam_size if model.decoding == "beam_search" else 1
         refs: list = []
