@@ -305,12 +305,19 @@ def teacher_forcing_logits(
     dropout_rng=None,
     keep_prob: float = 1.0,
     return_attention: bool = False,
+    remat: Optional[bool] = None,
 ):
     """Full teacher-forced forward pass as one `lax.scan`.
 
     Returns logits (B, T, V) in fp32; with ``return_attention`` also the
     per-step attention maps (B, T, R) for the doubly-stochastic
     regularizer / introspection.
+
+    ``remat`` recomputes each cell step in the backward pass instead of
+    storing its attention intermediates — the (B, R, dim_e) tanh tensor
+    per step is the memory hot spot, and for the largest image buckets
+    (R ~ 10^4) storing T of them would blow HBM. Default (None): on when
+    R > 2048.
     """
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -340,6 +347,11 @@ def teacher_forcing_logits(
         )
         out = (logits, attn) if return_attention else (logits, jnp.zeros((), logits.dtype))
         return new_state, out
+
+    if remat is None:
+        remat = regions.shape[1] > 2048
+    if remat:
+        step = jax.checkpoint(step)
 
     _, (logits_t, attn_t) = jax.lax.scan(step, state0, (embs_t, step_rngs))
     logits = jnp.swapaxes(logits_t, 0, 1).astype(jnp.float32)  # (B, T, V)
