@@ -57,10 +57,21 @@ def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.Gradien
 class Img2SeqModel:
     """Functional Img2Seq model with a jit-cached program per batch shape."""
 
-    def __init__(self, config, vocab, compute_dtype=jnp.float32):
+    def __init__(self, config, vocab, compute_dtype=jnp.float32, decoder_dtype=None):
         self.config = config
         self.vocab = vocab
         self.compute_dtype = compute_dtype
+        # Split-precision policy: the conv encoder runs fine in bf16 on the
+        # MXU, but the decoder's recurrence + attention-score path is where
+        # reduced precision can stall the attention-grounding phase of
+        # training; it can be pinned to fp32 independently.
+        if decoder_dtype is None:
+            name = getattr(config, "decoder_dtype", None)
+            if name is not None:
+                decoder_dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+            else:
+                decoder_dtype = compute_dtype
+        self.decoder_dtype = decoder_dtype
         self.n_tok = vocab.n_tok
         self.id_end = vocab.id_end
         self.decoding = getattr(config, "decoding", "greedy")
@@ -91,6 +102,7 @@ class Img2SeqModel:
     # ------------------------------------------------------------ forward
     def _loss_fn(self, params, batch, dropout_rng, keep_prob):
         feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
         alpha_c = float(getattr(self.config, "alpha_c", 0.0) or 0.0)
         if alpha_c > 0.0:
             logits, attn = teacher_forcing_logits(
@@ -147,6 +159,7 @@ class Img2SeqModel:
         """CE counters + decoded ids in ONE program (the reference fetches
         ce_words/n_words/pred ids in a single sess.run, img2seq.py:236)."""
         feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
         logits = teacher_forcing_logits(params["decoder"], feat, batch["formula"])
         loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
         if self.decoding == "greedy":
@@ -167,6 +180,7 @@ class Img2SeqModel:
     def decode_step(self, params: Dict, images: jnp.ndarray) -> jnp.ndarray:
         """Decode a uint8 image batch to ids (B, n_hyps, T), best first."""
         feat = encode(params["encoder"], images, self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
         if self.decoding == "greedy":
             ids = decode_greedy(
                 params["decoder"], feat, self.max_length, self.id_end,
@@ -184,6 +198,7 @@ class Img2SeqModel:
     def decode_with_attention(self, params: Dict, images: jnp.ndarray):
         """Greedy decode returning (ids (B, T), attention (B, T, R))."""
         feat = encode(params["encoder"], images, self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
         return decode_greedy_with_attention(
             params["decoder"], feat, self.max_length, self.id_end
         )
