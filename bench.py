@@ -30,7 +30,7 @@ def main() -> None:
     from latex_ocr_tpu.models.img2seq import Img2SeqModel
     from latex_ocr_tpu.utils import Config
 
-    B, H, W, T = 64, 50, 200, 64
+    B, H, W, T = 256, 50, 200, 64
 
     config = Config(dict(ge.FLAGSHIP_MODEL))
     vocab = ge._make_vocab(500)
@@ -44,24 +44,29 @@ def main() -> None:
     batch = {k: jax.device_put(v) for k, v in host_batch.items()}
     lr = jnp.float32(1e-3)
 
-    # warm-up: compile + one step
-    params, opt_state, metrics = model.train_step(params, opt_state, batch, lr, rng, 1.0)
-    jax.block_until_ready(metrics["loss"])
+    # warm-up: compile + 10 steps to reach steady state; float() forces a
+    # real device round-trip (block_until_ready returns early on the
+    # tunneled axon backend)
+    for i in range(10):
+        params, opt_state, metrics = model.train_step(
+            params, opt_state, batch, lr, jax.random.fold_in(rng, 1000 + i), 1.0
+        )
+    _ = float(metrics["loss"])
 
-    n_steps = 30
+    n_steps = 60
     t0 = time.perf_counter()
     for i in range(n_steps):
         params, opt_state, metrics = model.train_step(
             params, opt_state, batch, lr, jax.random.fold_in(rng, i), 1.0
         )
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])  # single hard sync at the end
     elapsed = time.perf_counter() - t0
 
     images_per_sec = B * n_steps / elapsed
     print(
         json.dumps(
             {
-                "metric": "train images/sec/chip (bucket 400x100, T=64, B=64, bf16)",
+                "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16)",
                 "value": round(float(images_per_sec), 2),
                 "unit": "images/sec",
                 "vs_baseline": round(float(images_per_sec) / 50.0, 2),
