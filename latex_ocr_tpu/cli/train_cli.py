@@ -31,6 +31,13 @@ def main(data: str, vocab: str, training: str, model: str, output: str) -> None:
     val_set = build_dataset(config, voc, "val")
 
     n_batches_epoch = (len(train_set) + config.batch_size - 1) // config.batch_size
+    # the reference torch path's "lr_scheduler": "CosineAnnealingLR" maps to
+    # cosine decay over the same [start_decay, end_decay] window
+    decay_mode = (
+        "cosine"
+        if str(getattr(config, "lr_scheduler", "")).lower().startswith("cosine")
+        else "exponential"
+    )
     lr_schedule = LRSchedule(
         lr_init=config.lr_init,
         lr_min=config.lr_min,
@@ -40,6 +47,7 @@ def main(data: str, vocab: str, training: str, model: str, output: str) -> None:
         lr_warm=getattr(config, "lr_warm", 1e-4),
         decay_rate=getattr(config, "decay_rate", None),
         early_stopping=getattr(config, "early_stopping", None),
+        decay_mode=decay_mode,
     )
 
     from ..models.img2seq import Img2SeqModel

@@ -38,6 +38,8 @@ def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.Gradien
     m = lr_method.lower()
     if m == "adam":
         core = optax.scale_by_adam()
+    elif m == "adamax":
+        core = optax.scale_by_adamax()
     elif m == "adagrad":
         core = optax.scale_by_rss(initial_accumulator_value=0.1)
     elif m == "sgd":

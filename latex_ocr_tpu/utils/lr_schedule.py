@@ -26,6 +26,7 @@ class LRSchedule:
         lr_warm: float = 1e-4,
         end_warm: Optional[int] = None,
         early_stopping: Optional[int] = None,
+        decay_mode: str = "exponential",
     ):
         self._lr_init = lr_init
         self._lr_min = lr_min
@@ -38,6 +39,10 @@ class LRSchedule:
         self._score: Optional[float] = None
         self._early_stopping = early_stopping
         self._n_no_improvement = 0
+        # "exponential" (reference TF path) or "cosine" (reference torch
+        # path's CosineAnnealingLR, base_torch.py:129-133)
+        assert decay_mode in ("exponential", "cosine"), decay_mode
+        self._decay_mode = decay_mode
 
         if self._end_warm is not None:
             # decay must not start inside the warm-up window
@@ -69,7 +74,19 @@ class LRSchedule:
             ):
                 self.lr = self._lr_init
             if batch_no > self._start_decay and self._end_decay is not None:
-                self.lr *= self._exp_decay
+                if self._decay_mode == "cosine":
+                    import math
+
+                    frac = min(
+                        1.0,
+                        (batch_no - self._start_decay)
+                        / float(self._end_decay - self._start_decay),
+                    )
+                    self.lr = self._lr_min + 0.5 * (self._lr_init - self._lr_min) * (
+                        1.0 + math.cos(math.pi * frac)
+                    )
+                else:
+                    self.lr *= self._exp_decay
 
         if self._decay_rate is not None and score is not None and self._score is not None:
             if score <= self._score:

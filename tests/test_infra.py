@@ -155,3 +155,26 @@ def test_minibatches_partial_tail():
     batches = list(minibatches(iter(data), 2))
     assert [len(b[0]) for b in batches] == [2, 2, 1]
     assert batches[2] == ([4], [-4])
+
+
+def test_lr_cosine_decay():
+    s = LRSchedule(lr_init=1.0, lr_min=0.0, start_decay=0, end_decay=100,
+                   decay_mode="cosine")
+    s.update(batch_no=50)
+    assert abs(s.lr - 0.5) < 1e-9  # half way through the cosine
+    s.update(batch_no=100)
+    assert s.lr == 0.0
+    s.update(batch_no=1000)
+    assert s.lr == 0.0  # clamped past the window
+
+
+def test_adamax_optimizer_available():
+    from latex_ocr_tpu.models.img2seq import make_optimizer
+
+    import jax.numpy as jnp
+
+    tx = make_optimizer("adamax", clip=1.0)
+    params = {"w": jnp.ones(3)}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+    assert updates["w"].shape == (3,)
