@@ -36,11 +36,16 @@ class CachedBatchPipeline:
         sharding=None,
         shuffle_seed: Optional[int] = None,
         n_threads: int = 8,
+        target_batch_pixels: Optional[int] = None,
     ):
         assert len(cache) == len(formulas), (len(cache), len(formulas))
         self.cache = cache
         self.formulas = [np.asarray(f, np.int32) for f in formulas]
         self.batch_size = batch_size
+        # adaptive per-bucket batch: large buckets get a smaller batch so
+        # the encoder-activation footprint (the HBM hot spot in the
+        # backward pass) stays roughly constant across buckets
+        self.target_batch_pixels = target_batch_pixels
         self.id_pad = id_pad
         self.id_end = id_end
         self.stored_buckets = stored_bucket_table(buckets)
@@ -57,11 +62,20 @@ class CachedBatchPipeline:
             shape = snap_image_shape(cache.shape(i), self.stored_buckets)
             self._groups.setdefault(shape, []).append(i)
 
+    def batch_size_for(self, shape: Tuple[int, int]) -> int:
+        if self.target_batch_pixels is None:
+            return self.batch_size
+        h, w = shape
+        b = self.target_batch_pixels // max(1, h * w)
+        b = (b // 8) * 8  # sublane-friendly
+        return int(max(8, min(self.batch_size, b)))
+
     def __len__(self) -> int:
-        return sum(
-            (len(g) + self.batch_size - 1) // self.batch_size
-            for g in self._groups.values()
-        )
+        total = 0
+        for shape, g in self._groups.items():
+            b = self.batch_size_for(shape)
+            total += (len(g) + b - 1) // b
+        return total
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         import jax
@@ -78,20 +92,22 @@ class CachedBatchPipeline:
             arr = np.asarray(idxs, np.int32)
             if rng is not None:
                 rng.shuffle(arr)
-            for start in range(0, len(arr), self.batch_size):
-                order.append((shape, arr[start : start + self.batch_size]))
+            b = self.batch_size_for(shape)
+            for start in range(0, len(arr), b):
+                order.append((shape, arr[start : start + b]))
         if rng is not None:
             rng.shuffle(order)
 
         for (H, W), idxs in order:
-            image = self.cache.batch(idxs, self.batch_size, H, W, self.n_threads)
+            b = self.batch_size_for((H, W))
+            image = self.cache.batch(idxs, b, H, W, self.n_threads)
 
             forms = [self.formulas[i] for i in idxs]
             max_len = max(len(f) for f in forms)
             T = snap_length(max_len + 1, self.length_bucket, self.max_formula_len)
             formula, lengths = pad_batch_formulas(forms, self.id_pad, self.id_end, max_len=T - 1)
-            if len(idxs) < self.batch_size:
-                pad_n = self.batch_size - len(idxs)
+            if len(idxs) < b:
+                pad_n = b - len(idxs)
                 formula = np.concatenate(
                     [formula, np.full((pad_n, T), self.id_pad, np.int32)]
                 )

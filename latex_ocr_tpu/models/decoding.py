@@ -180,6 +180,8 @@ def decode_beam(
     att_img = compute_att_img(dec_params, regions)
     B, R, C = regions.shape
     K, V = beam_size, dec_params["embedding_table"].shape[0]
+    # at t=0 only beam 0 is live, so it must supply all K continuations
+    assert K <= V, f"beam_size {K} exceeds vocab size {V}"
     T = max_length
     table = dec_params["embedding_table"]
     dt = regions.dtype
