@@ -1,0 +1,64 @@
+"""`serve` CLI: dynamic-batching inference benchmark at fixed QPS.
+
+Loads a trained run and serves a request mix sampled from an image
+directory through the bucket-aware dynamic batcher, reporting latency
+percentiles and achieved QPS (BASELINE.json config #5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import click
+
+from ..data.images import greyscale, read_img
+from ..utils import Config
+from .common import make_vocab
+from .predict_cli import load_model
+
+
+@click.command()
+@click.option("--results", default="results/small/")
+@click.option("--images", "image_dir", required=True, help="Dir with .png requests")
+@click.option("--qps", default=20.0)
+@click.option("--duration", default=10.0, help="Benchmark duration (s)")
+@click.option("--max-batch", default=16)
+@click.option("--max-wait-ms", default=10.0)
+def main(results: str, image_dir: str, qps: float, duration: float,
+         max_batch: int, max_wait_ms: float) -> None:
+    from ..utils.jax_setup import setup_jax
+
+    setup_jax()
+    from ..serving import LatexOCRServer, run_qps_benchmark
+
+    model, params = load_model(results)
+    data_cfg_path = os.path.join(results, "data.json")
+    buckets = None
+    if os.path.exists(data_cfg_path):
+        buckets = Config(data_cfg_path).get("buckets")
+
+    imgs = [
+        read_img(os.path.join(image_dir, f))
+        for f in sorted(os.listdir(image_dir))
+        if f.endswith(".png")
+    ][:64]
+    if not imgs:
+        raise click.ClickException(f"no .png files under {image_dir}")
+
+    server = LatexOCRServer(
+        model, params, buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms
+    )
+    try:
+        # warm the compile cache with one request per distinct bucket
+        for img in imgs[:4]:
+            server.submit(img).result(timeout=600)
+        server.stats.clear()
+        stats = run_qps_benchmark(server, imgs, qps=qps, duration_s=duration)
+    finally:
+        server.close()
+    click.echo(json.dumps({k: round(v, 2) for k, v in stats.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,13 +42,13 @@ def pipe(split, shuffle):
         id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=51,
         buckets=buckets, max_formula_len=52, length_bucket=26,
         shuffle_seed=0 if shuffle else None,
-        target_batch_pixels=64 * 50 * 200)
+        target_batch_pixels=64 * 100 * 500)
 
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, out)
-lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=28000, end_decay=36000)
+lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=10**9, end_decay=2 * 10**9)
 t0 = time.time()
 best = trainer.train(train_pipe, val_pipe, lr)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
