@@ -139,7 +139,12 @@ def build_cached_pipeline(
     max_len: Optional[int] = None,
     **kwargs,
 ) -> CachedBatchPipeline:
-    """Construct the cached pipeline from the reference's file contract."""
+    """Construct the cached pipeline from the reference's file contract.
+
+    The image cache under ``cache_dir`` is reused when its entry count
+    matches the matching file; delete the cache dir after re-rendering a
+    dataset in place (same paths, same count, new pixels).
+    """
     formulas_raw = load_formulas(path_formulas)
     paths: List[str] = []
     token_lists: List[Sequence[int]] = []

@@ -169,24 +169,40 @@ class BatchPipeline:
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        stop = object()
+        done = object()
+        abandoned = threading.Event()
+
+        def put_with_escape(item) -> bool:
+            """Blocking put that gives up once the consumer is gone."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._host_batches():
-                    q.put(batch)
+                    if not put_with_escape(batch):
+                        return
             finally:
-                q.put(stop)
+                put_with_escape(done)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is stop:
-                break
-            if self.sharding is not None:
-                batch = {
-                    k: jax.device_put(v, self.sharding if np.ndim(v) else None)
-                    for k, v in batch.items()
-                }
-            yield batch
+        try:
+            while True:
+                batch = q.get()
+                if batch is done:
+                    break
+                if self.sharding is not None:
+                    batch = {
+                        k: jax.device_put(v, self.sharding if np.ndim(v) else None)
+                        for k, v in batch.items()
+                    }
+                yield batch
+        finally:
+            # consumer stopped early (break/exception): release the producer
+            abandoned.set()

@@ -69,6 +69,17 @@ class LatexOCRServer:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
+        # fail any requests still queued so callers never hang
+        with self._lock:
+            queues = list(self._queues.values())
+        for q in queues:
+            while True:
+                try:
+                    req = q.get_nowait()
+                except queue.Empty:
+                    break
+                if not req.future.done():
+                    req.future.set_exception(RuntimeError("server closed"))
 
     # ------------------------------------------------------------ internals
     def _serve_loop(self) -> None:
