@@ -349,7 +349,10 @@ def teacher_forcing_logits(
         return new_state, out
 
     if remat is None:
-        remat = regions.shape[1] > 2048
+        # measured on v5e: recomputing the step is faster than storing and
+        # reloading the (B, R, dim_e) intermediates even at small R
+        # (33.9 vs 35.3 ms/step at B=256, R=92) — default on
+        remat = True
     if remat:
         step = jax.checkpoint(step)
 
