@@ -158,6 +158,9 @@ class DataGenerator:
         from .render import build_images
 
         os.makedirs(self._dir_images, exist_ok=True)
+        parent = os.path.dirname(self._path_matching)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
         result = build_images(
             self._formulas, self._dir_images, quality, density, down_ratio, buckets, n_threads
         )
