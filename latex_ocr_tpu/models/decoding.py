@@ -174,8 +174,14 @@ def decode_beam(
     div_prob: float = 0.0,
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
+    length_norm_alpha: float = 0.0,
 ) -> BeamOutput:
-    """Batched beam search, fully on device. Returns aligned beams (B, K, T)."""
+    """Batched beam search, fully on device. Returns aligned beams (B, K, T).
+
+    ``length_norm_alpha`` > 0 re-ranks the final beams by
+    ``log_prob / length**alpha`` (GNMT-style length normalization,
+    BASELINE.json config #3); 0 keeps the reference's raw-sum ranking.
+    """
     regions = flatten_regions(img_feat)  # (B, R, C) — never beam-tiled
     att_img = compute_att_img(dec_params, regions)
     B, R, C = regions.shape
@@ -199,6 +205,7 @@ def decode_beam(
         (B, 1),
     )
     finished0 = jnp.zeros((B, K), bool)
+    lengths0 = jnp.zeros((B, K), jnp.int32)
     ids_buf0 = jnp.full((T, B, K), id_end, jnp.int32)
     # identity parents for unexecuted steps keep backtracking a no-op there
     parents_buf0 = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, None, :], (T, B, K))
@@ -214,7 +221,7 @@ def decode_beam(
         return jnp.logical_and(t < T, ~jnp.all(finished))
 
     def body(carry):
-        t, state, emb, log_probs, finished, ids_buf, parents_buf, step_rng = carry
+        t, state, emb, log_probs, finished, lengths, ids_buf, parents_buf, step_rng = carry
 
         logits, new_state, _ = attn_cell_step_beam(
             dec_params, emb, state, att_img, regions, use_pallas=use_pallas
@@ -235,18 +242,28 @@ def decode_beam(
         # reorder per-beam state by parent
         new_state = AttnState(*(_gather_beams(s, parents) for s in new_state))
 
-        new_finished = jnp.logical_or(
-            _gather_beams(finished, parents), new_ids == id_end
-        )
+        prev_finished = _gather_beams(finished, parents)
+        new_finished = jnp.logical_or(prev_finished, new_ids == id_end)
+        # a beam's length counts tokens up to and including its END
+        new_lengths = _gather_beams(lengths, parents) + (~prev_finished).astype(jnp.int32)
         new_emb = table[new_ids].astype(dt)
 
         ids_buf = jax.lax.dynamic_update_slice(ids_buf, new_ids[None], (t, 0, 0))
         parents_buf = jax.lax.dynamic_update_slice(parents_buf, parents[None], (t, 0, 0))
 
-        return (t + 1, new_state, new_emb, new_lp, new_finished, ids_buf, parents_buf, step_rng)
+        return (t + 1, new_state, new_emb, new_lp, new_finished, new_lengths, ids_buf, parents_buf, step_rng)
 
-    carry = (jnp.int32(0), state0, emb0, log_probs0, finished0, ids_buf0, parents_buf0, rng0)
-    _, _, _, log_probs, _, ids_buf, parents_buf, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (jnp.int32(0), state0, emb0, log_probs0, finished0, lengths0, ids_buf0, parents_buf0, rng0)
+    _, _, _, log_probs, _, lengths, ids_buf, parents_buf, _ = jax.lax.while_loop(cond, body, carry)
+
+    # ---- optional GNMT-style length normalization re-ranking --------------
+    if length_norm_alpha > 0.0:
+        norm = jnp.maximum(1, lengths).astype(jnp.float32) ** length_norm_alpha
+        scores = log_probs / norm
+        order = jnp.argsort(-scores, axis=1)  # (B, K) best first
+        log_probs = jnp.take_along_axis(scores, order, axis=1)
+    else:
+        order = None
 
     # ---- finalize: backtrack parent pointers, last step -> first ----------
     def back_step(pointers, inputs):
@@ -256,6 +273,8 @@ def decode_beam(
         return new_pointers, aligned
 
     init_pointers = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :], (B, K))
+    if order is not None:
+        init_pointers = jnp.take_along_axis(init_pointers, order, axis=1)
     _, aligned_rev = jax.lax.scan(
         back_step, init_pointers, (ids_buf[::-1], parents_buf[::-1])
     )

@@ -80,6 +80,7 @@ class Img2SeqModel:
         self.beam_size = getattr(config, "beam_size", 5)
         self.div_gamma = getattr(config, "div_gamma", 1.0)
         self.div_prob = getattr(config, "div_prob", 0.0)
+        self.length_norm_alpha = float(getattr(config, "length_norm_alpha", 0.0) or 0.0)
         self.max_length = getattr(config, "max_length_formula", 150) + 1
         self._tx: Optional[optax.GradientTransformation] = None
         pallas = getattr(config, "use_pallas_attention", "auto")
@@ -174,6 +175,7 @@ class Img2SeqModel:
                 params["decoder"], feat, self.max_length, self.id_end,
                 self.beam_size, self.div_gamma, self.div_prob,
                 use_pallas=self.use_pallas,
+                length_norm_alpha=self.length_norm_alpha,
             ).ids
         return {"loss": loss, "ce_words": ce_words, "n_words": n_words}, ids
 
@@ -193,6 +195,7 @@ class Img2SeqModel:
             params["decoder"], feat, self.max_length, self.id_end,
             self.beam_size, self.div_gamma, self.div_prob,
             use_pallas=self.use_pallas,
+            length_norm_alpha=self.length_norm_alpha,
         )
         return out.ids
 

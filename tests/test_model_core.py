@@ -212,3 +212,25 @@ def test_dropout_changes_logits_but_not_eval(dec_params):
         dec_params, feat, formula, dropout_rng=jax.random.PRNGKey(9), keep_prob=1.0
     )
     np.testing.assert_allclose(np.asarray(base), np.asarray(same), rtol=1e-6)
+
+
+def test_beam_length_norm_reranking(dec_params):
+    """alpha=0 keeps raw ranking; alpha>0 re-ranks by normalized score and
+    the normalized scores come out descending."""
+    from latex_ocr_tpu.models.decoding import decode_beam
+
+    feat = jax.random.normal(jax.random.PRNGKey(11), (2, 2, 4, 512), jnp.float32)
+    raw = decode_beam(dec_params, feat, 8, ID_END, beam_size=3)
+    normed = decode_beam(dec_params, feat, 8, ID_END, beam_size=3,
+                         length_norm_alpha=1.0)
+    # same hypothesis SET (re-ranking only permutes beams)
+    for b in range(2):
+        raw_set = {tuple(np.asarray(raw.ids[b, k])) for k in range(3)}
+        new_set = {tuple(np.asarray(normed.ids[b, k])) for k in range(3)}
+        assert raw_set == new_set
+    lp = np.asarray(normed.log_probs)
+    assert (np.diff(lp, axis=1) <= 1e-5).all()
+    # alpha=0 unchanged vs raw
+    again = decode_beam(dec_params, feat, 8, ID_END, beam_size=3,
+                        length_norm_alpha=0.0)
+    np.testing.assert_array_equal(np.asarray(raw.ids), np.asarray(again.ids))
