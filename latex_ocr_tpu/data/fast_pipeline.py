@@ -62,6 +62,11 @@ class CachedBatchPipeline:
             shape = snap_image_shape(cache.shape(i), self.stored_buckets)
             self._groups.setdefault(shape, []).append(i)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (for exact resume: the trainer drives the
+        epoch counter so a restart reproduces the same data order)."""
+        self._epoch = int(epoch)
+
     def batch_size_for(self, shape: Tuple[int, int]) -> int:
         if self.target_batch_pixels is None:
             return self.batch_size

@@ -110,13 +110,16 @@ class Trainer:
             self.logger.info(f"Epoch {epoch + 1}/{config.n_epochs}")
             tic = time.time()
             prog = Progbar(n_batches)
+            if hasattr(train_pipeline, "set_epoch"):
+                train_pipeline.set_epoch(epoch)  # deterministic resume order
 
             n_images = 0
             for i, batch in enumerate(train_pipeline):
                 step = epoch * n_batches + i
                 if profiler is not None:
                     profiler.maybe_start(step)
-                rng, step_rng = jax.random.split(rng)
+                # rng keyed on the global step: exact on resume
+                step_rng = jax.random.fold_in(rng, step)
                 n_real = int(batch.pop("n_real"))
                 params, opt_state, metrics = model.train_step(
                     params, opt_state, batch, lr_schedule.lr, step_rng, keep_prob
