@@ -178,3 +178,13 @@ def test_adamax_optimizer_available():
     state = tx.init(params)
     updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
     assert updates["w"].shape == (3,)
+
+
+def test_build_vocab_from_file_char_level(tmp_path):
+    from latex_ocr_tpu.data.vocab import build_vocab_from_file
+
+    p = tmp_path / "f.txt"
+    p.write_text("aab\nabc\n")
+    # char counts: a=4, b=2, c=1
+    assert build_vocab_from_file([str(p)], min_count=2) == ["a", "b"]
+    assert build_vocab_from_file([str(p)], min_count=5) == []
