@@ -77,9 +77,15 @@ def init_encoder_params(rng, config) -> Dict[str, Dict[str, jnp.ndarray]]:
         c_in = _RESNET_WIDTHS[0]
         for si, width in enumerate(_RESNET_WIDTHS):
             for bi in range(2):
+                conv2 = _conv_param(next(ks), (3, 3), width, width)
+                # damp the residual branch's last conv: blocks start near
+                # identity, keeping activation scale bounded without
+                # normalization layers, while a nonzero kernel keeps the
+                # gradient path to conv1 open (a strict zero init blocks it)
+                conv2["w"] = conv2["w"] * 0.1
                 blk = {
                     "conv1": _conv_param(next(ks), (3, 3), c_in if bi == 0 else width, width),
-                    "conv2": _conv_param(next(ks), (3, 3), width, width),
+                    "conv2": conv2,
                 }
                 if bi == 0 and c_in != width:
                     blk["proj"] = _conv_param(next(ks), (1, 1), c_in, width)
@@ -94,7 +100,11 @@ def init_encoder_params(rng, config) -> Dict[str, Dict[str, jnp.ndarray]]:
         c = growth
         for si in range(3):  # 3 dense stages, 3 layers each, then transition
             for li in range(3):
-                params[f"dense{si}_layer{li}"] = _conv_param(next(ks), (3, 3), c, growth)
+                p = _conv_param(next(ks), (3, 3), c, growth)
+                # damp each dense layer so the concatenated feature scale
+                # stays bounded through the stage (no norm layers)
+                p["w"] = p["w"] * 0.3
+                params[f"dense{si}_layer{li}"] = p
                 c += growth
             out_c = min(512, c // 2) if si < 2 else 512
             params[f"transition{si}"] = _conv_param(next(ks), (1, 1), c, out_c)
