@@ -100,3 +100,18 @@ def test_serving_dynamic_batching():
         assert stats["p50_ms"] > 0
     finally:
         server.close()
+
+
+def test_feature_map_dump(tmp_path):
+    import os
+
+    from latex_ocr_tpu.utils.feature_maps import dump_feature_maps
+    from latex_ocr_tpu.models.encoder import init_encoder_params
+    import jax
+
+    cfg = Config({"encoder_cnn": "vanilla", "positional_embeddings": False})
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    img = np.random.default_rng(0).integers(0, 255, (1, 48, 64, 1)).astype(np.uint8)
+    paths = dump_feature_maps(params, img, cfg, str(tmp_path / "fm"))
+    assert len(paths) == 6  # one per conv stage
+    assert all(os.path.exists(p) for p in paths)
