@@ -1,0 +1,234 @@
+"""Pallas greedy-decode megakernel (prototype, opt-in).
+
+Motivation (docs/design.md §11): the XLA decode loop re-reads the image
+tensors (att_img (B,R,E), regions (B,R,C)) from HBM on every step. This
+kernel pins one batch-block's image tensors and all decoder weights in
+VMEM and runs the ENTIRE T-step greedy loop inside the kernel — each image
+byte crosses HBM exactly once per decode instead of once per step.
+
+Layout: grid = (B / block_b,), one instance per batch block. The id
+buffer is (T, block_b) so per-step writes hit the sublane dimension.
+
+Status: PROTOTYPE, not wired into any default path. Interpret-mode
+output is bit-identical to `decode_greedy`. On the tunneled axon TPU the
+remote Mosaic compile helper crashes (HTTP 500, no diagnostic) on the
+attention block inside `fori_loop`; the same math outside a loop
+(ops/attention.py) compiles fine. Bisect results (2026-08-16): buffers +
+fori + matmul + argmax + dynamic sublane store compile OK; adding the
+(Bb, R, E) attention broadcast/reduce (3-D or per-image 2-D form) inside
+the loop crashes the helper. Revisit on a toolchain that surfaces Mosaic
+diagnostics. Beam variant and the training custom-VJP version are
+ROADMAP items.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(
+    att_img_ref,  # (Bb, R, E)
+    regions_ref,  # (Bb, R, C)
+    c0_ref,  # (Bb, U)
+    h0_ref,  # (Bb, U)
+    o0_ref,  # (Bb, O)
+    lstm_w_ref,  # (emb+O+U, 4U)
+    lstm_b_ref,  # (1, 4U)
+    att_h_w_ref,  # (U, E)
+    beta_ref,  # (1, E)
+    o_w_h_ref,  # (U, O)
+    o_w_c_ref,  # (C, O)
+    y_w_o_ref,  # (O, V)
+    table_ref,  # (V, emb)
+    start_ref,  # (1, emb)
+    ids_ref,  # (1, T, Bb) output int32
+    *,
+    T: int,
+    id_end: int,
+):
+    att_img = att_img_ref[...]
+    regions = regions_ref[...]
+    Bb, R, E = att_img.shape
+    C = regions.shape[-1]
+    U = h0_ref.shape[-1]
+    V, emb_dim = table_ref.shape
+
+    def step(t, carry):
+        c, h, o, emb, finished = carry
+        z = jax.lax.dot_general(
+            jnp.concatenate([emb, o, h], axis=1),
+            lstm_w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + lstm_b_ref[0][None, :]
+        i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
+        new_c = c * jax.nn.sigmoid(f_g + 1.0) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+
+        att_h = jax.lax.dot_general(
+            new_h, att_h_w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bb, E)
+        e = jnp.tanh(att_img.astype(jnp.float32) + att_h[:, None, :])  # (Bb, R, E)
+        s = jnp.sum(e * beta_ref[0][None, None, :].astype(jnp.float32), axis=-1)
+        a = jax.nn.softmax(s, axis=-1)  # (Bb, R) fp32
+
+        # per-image context: a[b] @ regions[b]; static unroll over the block
+        ctx = jnp.stack(
+            [
+                jax.lax.dot_general(
+                    a[b][None, :].astype(regions.dtype),
+                    regions[b],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[0]
+                for b in range(Bb)
+            ],
+            axis=0,
+        )  # (Bb, C) fp32
+
+        new_o = jnp.tanh(
+            jax.lax.dot_general(
+                new_h, o_w_h_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                ctx.astype(regions.dtype), o_w_c_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        logits = jax.lax.dot_general(
+            new_o.astype(regions.dtype), y_w_o_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bb, V)
+
+        # keep everything >= 2-D: Mosaic dislikes 1-D vectors
+        ids = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)  # (Bb, 1)
+        ids = jnp.where(finished, jnp.int32(id_end), ids)
+        ids_ref[0, pl.ds(t, 1), :] = ids.T
+        new_finished = jnp.logical_or(finished, ids == id_end)  # (Bb, 1)
+
+        # embedding gather as a one-hot matmul (MXU-native; Mosaic has no
+        # general dynamic row gather)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (Bb, V), 1) == ids
+        ).astype(regions.dtype)
+        new_emb = jax.lax.dot_general(
+            onehot, table_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            new_c.astype(c.dtype),
+            new_h.astype(h.dtype),
+            new_o.astype(o.dtype),
+            new_emb.astype(emb.dtype),
+            new_finished,
+        )
+
+    dt = regions.dtype
+    emb0 = jnp.broadcast_to(start_ref[0][None, :], (Bb, emb_dim)).astype(dt)
+    finished0 = jnp.zeros((Bb, 1), bool)
+    carry = (
+        c0_ref[...].astype(dt),
+        h0_ref[...].astype(dt),
+        o0_ref[...].astype(dt),
+        emb0,
+        finished0,
+    )
+    jax.lax.fori_loop(0, T, step, carry)
+
+
+@functools.partial(jax.jit, static_argnames=("max_length", "id_end", "block_b", "interpret"))
+def decode_greedy_megakernel(
+    dec_params: Dict,
+    img_feat: jnp.ndarray,  # (B, H, W, C) or (B, R, C)
+    max_length: int,
+    id_end: int,
+    block_b: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Greedy decode with the whole T-loop in one Pallas kernel.
+
+    Returns ids (B, max_length) int32, matching `decode_greedy` semantics
+    (END-filled after each sequence finishes).
+    """
+    from ..models.decoder import compute_att_img, flatten_regions, initial_state
+
+    regions = flatten_regions(img_feat)
+    att_img = compute_att_img(dec_params, regions)
+    s0 = initial_state(dec_params, regions)
+    B, R, C = regions.shape
+
+    pad_b = (-B) % block_b
+    if pad_b:
+        regions = jnp.pad(regions, ((0, pad_b), (0, 0), (0, 0)))
+        att_img = jnp.pad(att_img, ((0, pad_b), (0, 0), (0, 0)))
+        s0 = type(s0)(*(jnp.pad(s, ((0, pad_b), (0, 0))) for s in s0))
+    Bp = B + pad_b
+    n_blocks = Bp // block_b
+
+    dt = regions.dtype
+    lstm_w = dec_params["lstm"]["w"].astype(dt)
+    lstm_b = dec_params["lstm"]["b"].astype(jnp.float32)[None, :]
+    att = dec_params["att"]
+    out = dec_params["out"]
+    T = max_length
+
+    kernel = functools.partial(_kernel, T=T, id_end=id_end)
+    blk = lambda *shape: shape  # readability
+
+    ids_tb = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_b, R, att_img.shape[-1]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, R, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.c.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.h.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.o.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lstm_w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lstm_b.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(att["h_w"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, att["beta"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["o_w_h"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["o_w_c"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["y_w_o"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_params["embedding_table"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dec_params["start_token"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, block_b), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, T, block_b), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(
+        att_img,
+        regions,
+        s0.c.astype(dt),
+        s0.h.astype(dt),
+        s0.o.astype(dt),
+        lstm_w,
+        lstm_b,
+        att["h_w"].astype(dt),
+        att["beta"].astype(dt)[None, :],
+        out["o_w_h"].astype(dt),
+        out["o_w_c"].astype(dt),
+        out["y_w_o"].astype(dt),
+        dec_params["embedding_table"].astype(dt),
+        dec_params["start_token"].astype(dt)[None, :],
+    )
+    # (n_blocks, T, block_b) -> (B, T)
+    ids = jnp.transpose(ids_tb, (0, 2, 1)).reshape(Bp, T)
+    return ids[:B]
