@@ -186,7 +186,6 @@ def decode_greedy_megakernel(
     T = max_length
 
     kernel = functools.partial(_kernel, T=T, id_end=id_end)
-    blk = lambda *shape: shape  # readability
 
     ids_tb = pl.pallas_call(
         kernel,
