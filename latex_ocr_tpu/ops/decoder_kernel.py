@@ -16,7 +16,13 @@ attention block inside `fori_loop`; the same math outside a loop
 (ops/attention.py) compiles fine. Bisect results (2026-08-16): buffers +
 fori + matmul + argmax + dynamic sublane store compile OK; adding the
 (Bb, R, E) attention broadcast/reduce (3-D or per-image 2-D form) inside
-the loop crashes the helper. Revisit on a toolchain that surfaces Mosaic
+the loop crashes the helper. MINIMAL REPRO: even a bare
+`jnp.sum(x3d, axis=-1)` over a (8, 92, 256) VMEM value inside
+`jax.lax.fori_loop` crashes it, while the same reduce outside a loop
+compiles — the bug is "3-D vector ops under a loop" in this Mosaic
+build. Round-2 workaround: fold the batch-block dim into the sublane
+axis and keep every in-loop tensor 2-D ((Bb*R, E) keys, per-image dots
+via reshape), or revisit on a toolchain that surfaces Mosaic
 diagnostics. Beam variant and the training custom-VJP version are
 ROADMAP items.
 """
