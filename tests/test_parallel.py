@@ -57,6 +57,30 @@ def test_graft_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_graft_dryrun_reexecs_when_backend_unsuitable(monkeypatch):
+    """If the live backend can't serve an n-device CPU mesh, dryrun must
+    re-exec itself in a clean subprocess instead of crashing (round-1 driver
+    failure: a pre-initialized TPU backend made dryrun_multichip(8) die)."""
+    import subprocess
+    import types
+
+    import __graft_entry__ as ge
+
+    calls = {}
+
+    def fake_run(argv, env=None, **kw):
+        calls["argv"] = argv
+        calls["env"] = env
+        return types.SimpleNamespace(returncode=0, stdout="ok\n", stderr="")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    # 16 > the 8 forced CPU devices -> in-process path is unsuitable
+    ge.dryrun_multichip(16)
+    assert calls["argv"][-1] == "16"
+    assert calls["env"]["JAX_PLATFORMS"] == "cpu"
+    assert "device_count=16" in calls["env"]["XLA_FLAGS"]
+
+
 def test_dp_grads_match_single_device(mesh):
     """DP-sharded train step == single-device step on the same batch."""
     import __graft_entry__ as ge
