@@ -2,9 +2,12 @@
 
 Measures the full jitted train step (conv encoder + scan attention decoder,
 fwd+bwd+adam, bf16 compute) on a representative im2latex bucket shape:
-stored bucket (400, 100) -> (50, 200) images, formula length 64, batch 64.
+stored bucket (400, 100) -> (50, 200) images, formula length 64, batch 256.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with {"metric", "value", "unit", "vs_baseline"} plus
+hardware-anchored context: executed TFLOP/s and MFU (fraction of the v5e
+chip's 197 TFLOP/s bf16 peak), using XLA's own per-program cost analysis
+so the FLOP count includes rematerialized recompute actually executed.
 
 vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 its trainer is TF 1.12 feed_dict on a consumer GPU (reference README.md:231
@@ -17,6 +20,8 @@ import json
 import time
 
 import numpy as np
+
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def main() -> None:
@@ -44,6 +49,21 @@ def main() -> None:
     batch = {k: jax.device_put(v) for k, v in host_batch.items()}
     lr = jnp.float32(1e-3)
 
+    # XLA's executed-FLOPs count for one train step (same donated
+    # signature as the jitted call below so the program is identical)
+    flops_per_step = None
+    try:
+        # the jit wrapper's .lower is not descriptor-bound; pass self
+        lowered = type(model).train_step.lower(
+            model, params, opt_state, batch, lr, jax.random.fold_in(rng, 0), 1.0
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass  # cost analysis is best-effort; throughput still reported
+
     # warm-up: compile + 10 steps to reach steady state; float() forces a
     # real device round-trip (block_until_ready returns early on the
     # tunneled axon backend)
@@ -63,16 +83,18 @@ def main() -> None:
     elapsed = time.perf_counter() - t0
 
     images_per_sec = B * n_steps / elapsed
-    print(
-        json.dumps(
-            {
-                "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16)",
-                "value": round(float(images_per_sec), 2),
-                "unit": "images/sec",
-                "vs_baseline": round(float(images_per_sec) / 50.0, 2),
-            }
-        )
-    )
+    out = {
+        "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16)",
+        "value": round(float(images_per_sec), 2),
+        "unit": "images/sec",
+        "vs_baseline": round(float(images_per_sec) / 50.0, 2),
+    }
+    if flops_per_step is not None:
+        achieved = flops_per_step * n_steps / elapsed
+        out["tflops_per_sec"] = round(achieved / 1e12, 1)
+        out["mfu_pct"] = round(100.0 * achieved / V5E_BF16_PEAK_FLOPS, 1)
+        out["gflops_per_image"] = round(flops_per_step / B / 1e9, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -37,6 +37,7 @@ class CachedBatchPipeline:
         shuffle_seed: Optional[int] = None,
         n_threads: int = 8,
         target_batch_pixels: Optional[int] = None,
+        max_iter: Optional[int] = None,
     ):
         assert len(cache) == len(formulas), (len(cache), len(formulas))
         self.cache = cache
@@ -54,6 +55,9 @@ class CachedBatchPipeline:
         self.sharding = sharding
         self.shuffle_seed = shuffle_seed
         self.n_threads = n_threads
+        # cap on examples per epoch (reference DataGenerator max_iter,
+        # data_generator.py:190-191); None = no cap
+        self.max_iter = max_iter
         self._epoch = 0
 
         # group example indices by snapped image shape (the static contract)
@@ -77,9 +81,16 @@ class CachedBatchPipeline:
 
     def __len__(self) -> int:
         total = 0
+        remaining = self.max_iter if self.max_iter is not None else None
         for shape, g in self._groups.items():
             b = self.batch_size_for(shape)
-            total += (len(g) + b - 1) // b
+            n = len(g)
+            if remaining is not None:
+                n = min(n, remaining)
+                remaining -= n
+            total += (n + b - 1) // b
+            if remaining == 0:
+                break
         return total
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -93,13 +104,21 @@ class CachedBatchPipeline:
         self._epoch += 1
 
         order: List[Tuple[Tuple[int, int], np.ndarray]] = []
+        # max_iter truncates per-group counts in group order (must mirror
+        # __len__ exactly so the trainer's batch estimate holds)
+        remaining = self.max_iter if self.max_iter is not None else None
         for shape, idxs in self._groups.items():
             arr = np.asarray(idxs, np.int32)
             if rng is not None:
                 rng.shuffle(arr)
+            if remaining is not None:
+                arr = arr[:remaining]
+                remaining -= len(arr)
             b = self.batch_size_for(shape)
             for start in range(0, len(arr), b):
                 order.append((shape, arr[start : start + b]))
+            if remaining == 0:
+                break
         if rng is not None:
             rng.shuffle(order)
 

@@ -42,7 +42,9 @@ def snap_image_shape(
 ) -> Tuple[int, int]:
     """Snap an (H, W) to the first stored bucket that fits, else round up
     to a multiple of 8 (the CNN reduction factor) so odd shapes still get
-    a bounded shape set."""
+    a bounded shape set. The no-bucket fallback is floored at 32 px: the
+    encoder contract is H' = H/8 - 2, so inputs under 24 px would reach
+    the VALID conv with a non-positive spatial dim."""
     h, w = int(shape[0]), int(shape[1])
     if stored_buckets:
         for bh, bw in stored_buckets:
@@ -50,7 +52,7 @@ def snap_image_shape(
                 return (bh, bw)
 
     def up8(v):
-        return ((v + 7) // 8) * 8
+        return max(32, ((v + 7) // 8) * 8)
 
     return (up8(h), up8(w))
 

@@ -316,8 +316,8 @@ def teacher_forcing_logits(
     ``remat`` recomputes each cell step in the backward pass instead of
     storing its attention intermediates — the (B, R, dim_e) tanh tensor
     per step is the memory hot spot, and for the largest image buckets
-    (R ~ 10^4) storing T of them would blow HBM. Default (None): on when
-    R > 2048.
+    (R ~ 10^4) storing T of them would blow HBM. Default (None): always
+    on — measured faster than storing even at small R (see below).
     """
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)

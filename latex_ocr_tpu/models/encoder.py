@@ -225,15 +225,11 @@ def feature_grid_shape(config, image_hw: Tuple[int, int]) -> Tuple[int, int]:
     VALID conv.
     """
     h, w = image_hw
-    variant = getattr(config, "encoder_cnn", "vanilla")
 
     def ceil_div(a, b):
         return -(-a // b)
 
-    if variant == "vanilla":
-        hh = ceil_div(ceil_div(ceil_div(h, 2), 2), 2) - 2
-        ww = ceil_div(ceil_div(ceil_div(w, 2), 2), 2) - 2
-    else:
-        hh = ceil_div(ceil_div(ceil_div(h, 2), 2), 2) - 2
-        ww = ceil_div(ceil_div(ceil_div(w, 2), 2), 2) - 2
+    # both encoder variants reduce /2/2/2 then lose 2 to the VALID conv
+    hh = ceil_div(ceil_div(ceil_div(h, 2), 2), 2) - 2
+    ww = ceil_div(ceil_div(ceil_div(w, 2), 2), 2) - 2
     return (max(1, hh), max(1, ww))

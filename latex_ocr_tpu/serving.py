@@ -42,27 +42,65 @@ class LatexOCRServer:
         buckets: Optional[Sequence[Sequence[int]]] = None,
         max_batch: int = 16,
         max_wait_ms: float = 10.0,
+        max_pending: Optional[int] = None,
+        request_timeout_ms: Optional[float] = None,
+        warmup: bool = False,
     ):
         self.model = model
         self.params = params
         self.stored_buckets = stored_bucket_table(buckets)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        # backpressure: reject new work beyond this many queued requests
+        self.max_pending = max_pending
+        # fail requests that sat in a queue longer than this before decode
+        self.request_timeout_s = (
+            None if request_timeout_ms is None else request_timeout_ms / 1000.0
+        )
         self._queues: Dict[Tuple[int, int], queue.Queue] = {}
+        self._pending = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
+        self.stats: List[Tuple[float, float]] = []  # (t_submit, latency)
+        if warmup:
+            self.warmup()
         self._worker = threading.Thread(target=self._serve_loop, daemon=True)
         self._worker.start()
-        self.stats: List[Tuple[float, float]] = []  # (t_submit, latency)
 
     # ------------------------------------------------------------------- API
+    def warmup(self) -> int:
+        """Precompile the (bucket, max_batch) decode program for every
+        stored bucket so no live request pays a first-compile (the p95 at
+        fixed QPS otherwise carries multi-hundred-ms compile pollution).
+        Returns the number of programs compiled."""
+        import jax.numpy as jnp
+
+        shapes = self.stored_buckets or []
+        for H, W in shapes:
+            dummy = jnp.full((self.max_batch, H, W, 1), 255, jnp.uint8)
+            np.asarray(self.model.decode_step(self.params, dummy))  # sync
+        return len(shapes)
+
     def submit(self, image: np.ndarray) -> Future:
-        """Queue a raw (H, W[, 3]) uint8 image; resolves to a LaTeX string."""
+        """Queue a raw (H, W[, 3]) uint8 image; resolves to a LaTeX string.
+
+        Raises RuntimeError after close(); returns an already-failed future
+        when the server is over ``max_pending`` (backpressure) so callers
+        can shed load without blocking.
+        """
+        if self._stop.is_set():
+            raise RuntimeError("server closed")
         img = greyscale(image)
         shape = snap_image_shape(img.shape[:2], self.stored_buckets)
         req = _Request(img)
         with self._lock:
+            if self.max_pending is not None and self._pending >= self.max_pending:
+                req.future.set_exception(
+                    RuntimeError(f"server overloaded ({self._pending} pending)")
+                )
+                return req.future
             q = self._queues.setdefault(shape, queue.Queue())
+            self._pending += 1
         q.put(req)
         return req.future
 
@@ -102,6 +140,23 @@ class LatexOCRServer:
                             reqs.append(q.get_nowait())
                         except queue.Empty:
                             break
+                    if reqs:
+                        with self._lock:
+                            self._pending -= len(reqs)
+                        if self.request_timeout_s is not None:
+                            t = time.perf_counter()
+                            expired = [
+                                r for r in reqs
+                                if t - r.t_submit > self.request_timeout_s
+                            ]
+                            reqs = [
+                                r for r in reqs
+                                if t - r.t_submit <= self.request_timeout_s
+                            ]
+                            for r in expired:
+                                r.future.set_exception(
+                                    TimeoutError("request timed out in queue")
+                                )
                     if reqs:
                         self._decode_batch(shape, reqs, jnp)
                         flushed = True

@@ -34,20 +34,41 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(
-        self, params_like: Dict, opt_state_like: Any
+        self, params_like: Dict, opt_state_like: Any, extra_like: Optional[Dict] = None
     ) -> Optional[Tuple[Dict, Any, Dict, int]]:
         """Restore the latest checkpoint shaped like the given pytrees.
+
+        ``extra_like`` is a template for the host-state dict saved via
+        ``save(extra=...)`` (e.g. best_score + LRSchedule counters); if the
+        stored checkpoint's extra tree doesn't match (older format), the
+        tensors are still restored and extra comes back empty.
 
         Returns (params, opt_state, extra, epoch) or None if no checkpoint.
         """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        target = {"params": params_like, "opt_state": opt_state_like, "extra": {}}
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(target)
-        )
-        return restored["params"], restored["opt_state"], restored.get("extra", {}), step
+        for extra_target in ((extra_like or {}), {}):
+            target = {
+                "params": params_like,
+                "opt_state": opt_state_like,
+                "extra": extra_target,
+            }
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(target)
+                )
+            except Exception:
+                if not extra_target:
+                    raise
+                continue
+            return (
+                restored["params"],
+                restored["opt_state"],
+                restored.get("extra", {}) or {},
+                step,
+            )
+        return None  # unreachable: the {} retry either returns or raises
 
     def restore_params(self, params_like: Optional[Dict] = None) -> Optional[Dict]:
         """Restore only the parameters (for eval/predict builds).

@@ -86,10 +86,33 @@ class Trainer:
 
         ckpt = CheckpointManager(os.path.join(self.dir_output, "model_weights"))
         start_epoch = 0
-        restored = ckpt.restore(params, opt_state)
+        best_score = None
+        global_step = 0
+        # host-state template for exact resume: keep-best threshold, global
+        # step (dropout streams + cosine decay), LRSchedule counters
+        # (reference resumes only the epoch, base.py:40-47; we also restore
+        # the score-decay/early-stop trajectory)
+        extra_like = {
+            "best_score": 0.0,
+            "global_step": 0,
+            "lr": 0.0,
+            "score": 0.0,
+            "n_no_improvement": 0,
+        }
+        restored = ckpt.restore(params, opt_state, extra_like)
         if restored is not None:
-            params, opt_state, _extra, start_epoch = restored
+            params, opt_state, extra, start_epoch = restored
             start_epoch += 1
+            if extra:
+                best_score = float(extra["best_score"])
+                global_step = int(extra["global_step"])
+                lr_schedule.load_state_dict(
+                    {
+                        "lr": float(extra["lr"]),
+                        "score": float(extra["score"]),
+                        "n_no_improvement": int(extra["n_no_improvement"]),
+                    }
+                )
             self.logger.info(f"Restored checkpoint; resuming at epoch {start_epoch}")
 
         keep_prob = float(np.clip(getattr(config, "dropout", 1.0), 0.0, 1.0))
@@ -102,7 +125,9 @@ class Trainer:
             n_batches = len(train_pipeline)
         else:
             n_batches = (len(train_set) + batch_size - 1) // batch_size
-        best_score = None
+        if restored is not None and not extra:
+            # pre-extra checkpoint: best estimate of the resume step
+            global_step = start_epoch * n_batches
         metrics_writer = MetricsWriter(self.dir_output)
         profiler = StepProfiler.from_config(config, self.dir_output)
 
@@ -115,7 +140,12 @@ class Trainer:
 
             n_images = 0
             for i, batch in enumerate(train_pipeline):
-                step = epoch * n_batches + i
+                # a true monotone counter, NOT epoch*n_batches+i: pipelines
+                # that split minibatches at image-shape boundaries yield
+                # more batches than the estimate, and a derived step would
+                # collide across epochs (reused dropout streams, cosine lr
+                # jumping back at epoch boundaries)
+                step = global_step
                 if profiler is not None:
                     profiler.maybe_start(step)
                 # rng keyed on the global step: exact on resume
@@ -125,6 +155,7 @@ class Trainer:
                     params, opt_state, batch, lr_schedule.lr, step_rng, keep_prob
                 )
                 n_images += n_real
+                global_step += 1
                 lr_schedule.update(batch_no=step)
                 if (i + 1) % 10 == 0 or i == 0:
                     loss = float(metrics["loss"])
@@ -162,7 +193,20 @@ class Trainer:
             if best_score is None or score >= best_score:
                 best_score = score
                 self.logger.info(f"- New best score ({score:.4f})! Saving.")
-                ckpt.save(epoch, params, opt_state)
+                sd = lr_schedule.state_dict()
+                ckpt.save(
+                    epoch,
+                    params,
+                    opt_state,
+                    extra={
+                        "best_score": float(best_score),
+                        "global_step": int(global_step),
+                        "lr": sd["lr"],
+                        # _score is set just above via update(score=score)
+                        "score": float(sd["score"]),
+                        "n_no_improvement": sd["n_no_improvement"],
+                    },
+                )
             if lr_schedule.stop_training:
                 self.logger.info("- Early stopping.")
                 break

@@ -62,6 +62,22 @@ class LRSchedule:
             and self._n_no_improvement >= self._early_stopping
         )
 
+    def state_dict(self) -> dict:
+        """Host state that must survive a restart for exact resume: the
+        current lr (exponential decay is multiplicative, so it cannot be
+        recomputed from batch_no alone once score-decay events happened),
+        the best score seen, and the no-improvement streak."""
+        return {
+            "lr": float(self.lr),
+            "score": None if self._score is None else float(self._score),
+            "n_no_improvement": int(self._n_no_improvement),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.lr = float(state["lr"])
+        self._score = state["score"]
+        self._n_no_improvement = int(state["n_no_improvement"])
+
     def update(self, batch_no: Optional[int] = None, score: Optional[float] = None) -> None:
         """Advance the schedule by time (``batch_no``) and/or by ``score``.
 

@@ -58,6 +58,34 @@ def test_cached_pipeline_matches_slow_pipeline(small_dataset, tmp_path):
             assert b["formula"][i, L - 1] == vocab.id_end
 
 
+def test_cached_pipeline_max_iter(small_dataset, tmp_path):
+    """max_iter caps examples per epoch (reference data_generator.py:190-191)
+    and __len__ agrees with the actual batch count."""
+    vocab = _vocab(small_dataset)
+    fast = build_cached_pipeline(
+        small_dataset["path_formulas_train"],
+        small_dataset["dir_images_train"],
+        small_dataset["path_matching_train"],
+        vocab.form_prepro,
+        str(tmp_path / "cache_mi"),
+        batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
+        max_len=50, buckets=small_dataset["buckets"],
+        max_formula_len=51, max_iter=11,
+    )
+    batches = list(fast)
+    assert sum(int(b["n_real"]) for b in batches) == 11
+    assert len(batches) == len(fast)
+
+
+def test_snap_image_shape_floor():
+    """The no-bucket fallback must keep the encoder's H/8-2 contract
+    positive for tiny inputs (predict/visualize pass buckets=None)."""
+    from latex_ocr_tpu.data.pipeline import snap_image_shape
+
+    assert snap_image_shape((5, 9), None) == (32, 32)
+    assert snap_image_shape((40, 100), None) == (40, 104)
+
+
 def test_cached_pipeline_shuffles_between_epochs(small_dataset, tmp_path):
     vocab = _vocab(small_dataset)
     fast = build_cached_pipeline(

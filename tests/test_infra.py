@@ -80,6 +80,48 @@ def test_lr_score_decay_and_early_stop():
     assert s2.lr == 1.0
 
 
+def test_lr_state_dict_roundtrip_mid_decay():
+    """A schedule restored from state_dict continues the exact trajectory
+    (lr after score-decay events is multiplicative and cannot be recomputed
+    from batch_no alone)."""
+    mk = lambda: LRSchedule(lr_init=1.0, lr_min=1e-8, decay_rate=0.5,
+                            early_stopping=3)
+    a = mk()
+    a.update(score=10.0)
+    a.update(score=9.0)   # decay event
+    a.update(score=8.5)   # decay event
+    b = mk()
+    b.load_state_dict(a.state_dict())
+    for s in (a, b):
+        s.update(score=8.0)
+    assert a.lr == b.lr
+    assert a.stop_training == b.stop_training
+    assert a.state_dict() == b.state_dict()
+
+
+def test_checkpoint_extra_roundtrip(tmp_path):
+    """Host state (best_score, LRSchedule counters) survives save/restore."""
+    import numpy as np
+
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+
+    params = {"w": np.ones((2, 2), np.float32)}
+    opt = {"m": np.zeros((2, 2), np.float32)}
+    extra = {"best_score": -1.25, "global_step": 17, "lr": 5e-4,
+             "score": -1.25, "n_no_improvement": 2}
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(3, params, opt, extra=extra)
+    restored = ckpt.restore(params, opt, extra_like={k: type(v)() for k, v in extra.items()})
+    ckpt.close()
+    assert restored is not None
+    _, _, got, epoch = restored
+    assert epoch == 3
+    assert got["global_step"] == 17
+    assert got["n_no_improvement"] == 2
+    assert float(got["best_score"]) == -1.25
+    assert float(got["lr"]) == 5e-4
+
+
 # ---------------------------------------------------------------- vocab
 def test_vocab_special_tokens_appended(tmp_path):
     vocab_file = tmp_path / "vocab.txt"

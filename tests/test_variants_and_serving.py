@@ -102,6 +102,52 @@ def test_serving_dynamic_batching():
         server.close()
 
 
+def test_serving_hardening():
+    """submit-after-close raises; backpressure sheds load; warmup compiles
+    one program per stored bucket."""
+    from latex_ocr_tpu.serving import LatexOCRServer
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    server = LatexOCRServer(
+        model, params, buckets=[[96, 96]], max_batch=4, max_wait_ms=5,
+        max_pending=2,
+    )
+    assert server.warmup() == 1
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (40, 44, 1)).astype(np.uint8)
+
+    # backpressure: overflow requests fail immediately instead of queueing
+    with server._lock:
+        server._pending = 2  # simulate a full queue
+    f = server.submit(img)
+    assert f.done()
+    try:
+        f.result()
+        assert False, "expected overload failure"
+    except RuntimeError as e:
+        assert "overloaded" in str(e)
+    with server._lock:
+        server._pending = 0
+
+    server.close()
+    try:
+        server.submit(img)
+        assert False, "expected submit after close to raise"
+    except RuntimeError as e:
+        assert "closed" in str(e)
+
+
 def test_feature_map_dump(tmp_path):
     import os
 
