@@ -72,7 +72,14 @@ def convert_to_png(
     )
 
     try:
-        crop_image(png_path, png_path)
+        if not crop_image(png_path, png_path):
+            # blank render (reference treats a no-ink crop as failure,
+            # image.py:196-207); delete the png too so an incremental
+            # rebuild doesn't resurrect it as "already rendered"
+            print(f"render blank for {name}")
+            _clean(dir_output, name)
+            delete_file(png_path)
+            return False
         pad_image(png_path, png_path, buckets=buckets)
         downsample_image(png_path, png_path, down_ratio)
         _clean(dir_output, name)
