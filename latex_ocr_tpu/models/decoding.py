@@ -256,6 +256,21 @@ def decode_beam(
     carry = (jnp.int32(0), state0, emb0, log_probs0, finished0, lengths0, ids_buf0, parents_buf0, rng0)
     _, _, _, log_probs, _, lengths, ids_buf, parents_buf, _ = jax.lax.while_loop(cond, body, carry)
 
+    return finalize_beams(ids_buf, parents_buf, log_probs, lengths, length_norm_alpha)
+
+
+def finalize_beams(
+    ids_buf: jnp.ndarray,  # (T, B, K) per-step chosen tokens
+    parents_buf: jnp.ndarray,  # (T, B, K) per-step parent pointers
+    log_probs: jnp.ndarray,  # (B, K) final raw scores
+    lengths: jnp.ndarray,  # (B, K) hypothesis lengths incl. END
+    length_norm_alpha: float = 0.0,
+) -> BeamOutput:
+    """Backtrack parent pointers into aligned beams, optionally re-ranked
+    by GNMT length normalization. Shared by the XLA beam loop and the
+    Pallas beam megakernel (which emits the same raw buffers)."""
+    T, B, K = ids_buf.shape
+
     # ---- optional GNMT-style length normalization re-ranking --------------
     if length_norm_alpha > 0.0:
         norm = jnp.maximum(1, lengths).astype(jnp.float32) ** length_norm_alpha

@@ -178,12 +178,7 @@ class Img2SeqModel:
         if self.decoding == "greedy":
             ids = self._greedy(params["decoder"], feat)[:, None, :]
         else:
-            ids = decode_beam(
-                params["decoder"], feat, self.max_length, self.id_end,
-                self.beam_size, self.div_gamma, self.div_prob,
-                use_pallas=self.use_pallas,
-                length_norm_alpha=self.length_norm_alpha,
-            ).ids
+            ids = self._beam(params["decoder"], feat).ids
         return {"loss": loss, "ce_words": ce_words, "n_words": n_words}, ids
 
     def _greedy(self, dec_params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
@@ -199,6 +194,25 @@ class Img2SeqModel:
             use_pallas=self.use_pallas,
         )
 
+    def _beam(self, dec_params: Dict, feat: jnp.ndarray):
+        """Beam search: megakernel on TPU (73x over the XLA loop at K=2),
+        XLA while_loop elsewhere or when the diversity penalty is on (the
+        kernel does not implement it)."""
+        use_div = (self.div_gamma != 1.0) and (self.div_prob > 0.0)
+        if self.use_megakernel and not use_div:
+            from ..ops.decoder_kernel import decode_beam_megakernel
+
+            return decode_beam_megakernel(
+                dec_params, feat, self.max_length, self.id_end,
+                self.beam_size, length_norm_alpha=self.length_norm_alpha,
+            )
+        return decode_beam(
+            dec_params, feat, self.max_length, self.id_end,
+            self.beam_size, self.div_gamma, self.div_prob,
+            use_pallas=self.use_pallas,
+            length_norm_alpha=self.length_norm_alpha,
+        )
+
     # ------------------------------------------------------------- decode
     @functools.partial(jax.jit, static_argnums=(0,))
     def decode_step(self, params: Dict, images: jnp.ndarray) -> jnp.ndarray:
@@ -207,13 +221,7 @@ class Img2SeqModel:
         feat = feat.astype(self.decoder_dtype)
         if self.decoding == "greedy":
             return self._greedy(params["decoder"], feat)[:, None, :]
-        out = decode_beam(
-            params["decoder"], feat, self.max_length, self.id_end,
-            self.beam_size, self.div_gamma, self.div_prob,
-            use_pallas=self.use_pallas,
-            length_norm_alpha=self.length_norm_alpha,
-        )
-        return out.ids
+        return self._beam(params["decoder"], feat).ids
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def decode_with_attention(self, params: Dict, images: jnp.ndarray):

@@ -22,8 +22,17 @@ fp32): 23.9 ms vs 1113 ms for the XLA `lax.while_loop` decode — ~46x,
 because the image tensors cross HBM once per decode instead of once per
 step and the whole step graph is one kernel launch. Wired as the default
 greedy decode on TPU via Img2SeqModel (config `use_decoder_megakernel`,
-default "auto"). Beam variant: `decode_beam_megakernel` below, same
-VMEM-residency story with an in-kernel flat top-k over beam*vocab.
+default "auto").
+
+Beam variant `decode_beam_megakernel`: same VMEM-residency story, beam
+rows folded into the sublane axis (row b*K + k), per-group flat top-k as
+K rounds of segment argmax built from constant one-hot matmuls —
+sub-8-sublane row slices and (1, K)-shaped ops mis-lower on this
+toolchain, so everything stays (Bb*K, ·)-shaped. Measured on v5e
+(B=256, R=184, T=151, fp32): K=2 41.4 ms vs 3042 ms XLA (73x), K=5
+93.2 ms vs 2230 ms (24x). Wired as the default beam decode on TPU
+(falls back to XLA for the diversity penalty, gated attention, or
+huge buckets).
 """
 
 from __future__ import annotations
@@ -35,6 +44,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# One-hot/selector matmuls must copy values EXACTLY: the MXU's default
+# f32 matmul runs bf16 multiply passes, and a bf16-rounded copy breaks
+# the equality comparisons the beam top-k relies on (and quantizes
+# gathered state). HIGHEST forces the exact multi-pass f32 path; the
+# real math matmuls keep the default, matching XLA's own TPU behavior.
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _copy_precision(dt):
+    """HIGHEST is only legal (and only needed) for f32 operands; a bf16
+    one-hot matmul is already an exact copy (bf16*1.0 accumulated f32)."""
+    return _EXACT if dt == jnp.float32 else None
 
 
 def _kernel(
@@ -136,6 +158,7 @@ def _kernel(
             onehot, table_ref[...],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_copy_precision(regions.dtype),
         )
         return (
             new_c.astype(c.dtype),
@@ -195,6 +218,12 @@ def decode_greedy_megakernel(
     (END-filled after each sequence finishes).
     """
     from ..models.decoder import compute_att_img, flatten_regions, initial_state
+
+    if "gate" in dec_params:
+        # Show-Attend-Tell context gate not fused in the kernel
+        from ..models.decoding import decode_greedy
+
+        return decode_greedy(dec_params, img_feat, max_length, id_end)
 
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -270,3 +299,386 @@ def decode_greedy_megakernel(
     # (n_blocks, T, block_b) -> (B, T)
     ids = jnp.transpose(ids_tb, (0, 2, 1)).reshape(Bp, T)
     return ids[:B]
+
+
+# --------------------------------------------------------------------- beam
+
+
+def _beam_kernel(
+    att_img_ref,  # (Bb, R, E)
+    regions_ref,  # (Bb, R, C)
+    c0_ref,  # (Bb, U)
+    h0_ref,  # (Bb, U)
+    o0_ref,  # (Bb, O)
+    lstm_w_ref,  # (emb+O+U, 4U)
+    lstm_b_ref,  # (1, 4U)
+    att_h_w_ref,  # (U, E)
+    beta_ref,  # (1, E)
+    o_w_h_ref,  # (U, O)
+    o_w_c_ref,  # (C, O)
+    y_w_o_ref,  # (O, V)
+    table_ref,  # (V, emb)
+    start_ref,  # (1, emb)
+    ids_ref,  # (1, T, Bb*K) int32
+    parents_ref,  # (1, T, Bb*K) int32 (within-K parent index)
+    lp_ref,  # (1, Bb*K, 1) fp32 final raw scores
+    len_ref,  # (1, Bb*K, 1) int32 hypothesis lengths incl. END
+    *,
+    T: int,
+    K: int,
+    id_end: int,
+):
+    """Full beam search, T steps in one kernel instance.
+
+    Semantics mirror models/decoding.py decode_beam exactly: finished
+    beams are forced to extend with END at probability 1, top-K over the
+    flat (K, V) continuation grid with lowest-flat-index tie-breaking,
+    parent pointers recorded per step for the host-side backtrack. Beam
+    rows are folded into the sublane axis as row b*K + k; every gather /
+    broadcast over the fold is a one-hot matmul (Mosaic has no dynamic
+    row gather, and the MXU eats these for free at this size).
+    """
+    att_img = att_img_ref[...]
+    regions = regions_ref[...]
+    Bb, R, E = att_img.shape
+    C = regions.shape[-1]
+    V, emb_dim = table_ref.shape
+    BK = Bb * K
+    dt = regions.dtype
+    NEG = jnp.float32(-1e30)
+
+    # constant selectors over the (Bb, K) fold, built once per instance:
+    # expand rows b -> rows b*K+k (state broadcast over beams)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (BK, Bb), 0)  # row index
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (BK, Bb), 1)
+    expand = (row_ids // K == col_ids).astype(dt)  # (BK, Bb)
+
+    def bcast(x):  # (Bb, D) -> (BK, D), row b*K+k = x[b]
+        return jax.lax.dot_general(
+            expand, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_copy_precision(dt),
+        ).astype(x.dtype)
+
+    # per-beam row selectors: pick rows {b*K+k : b} -> (Bb, D)
+    sel_rows = jax.lax.broadcasted_iota(jnp.int32, (Bb, BK), 1)
+    sel_base = jax.lax.broadcasted_iota(jnp.int32, (Bb, BK), 0) * K
+    # scatter rows b -> b*K+k
+    scat_rows = jax.lax.broadcasted_iota(jnp.int32, (BK, Bb), 0)
+    scat_base = jax.lax.broadcasted_iota(jnp.int32, (BK, Bb), 1) * K
+
+    group_base = (
+        jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0) // K
+    ) * K  # (BK, 1): b*K for each row
+    # P_k copies row (g*K + k) of a (BK, 1) column to every row of group g;
+    # segment max/min over the K-row groups = elementwise max/min of the K
+    # P_k-mapped copies. Constant, built once.
+    perm_cols = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
+    P = [
+        (perm_cols == group_base + k).astype(jnp.float32) for k in range(K)
+    ]  # each (BK, BK)
+
+    def seg_reduce(col, combine):  # col (BK, 1) f32 -> per-group reduce
+        acc = None
+        for k in range(K):
+            mapped = jax.lax.dot_general(
+                P[k], col,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_EXACT,
+            )
+            acc = mapped if acc is None else combine(acc, mapped)
+        return acc  # (BK, 1), constant within each group
+
+    c = bcast(c0_ref[...].astype(dt))
+    h = bcast(h0_ref[...].astype(dt))
+    o = bcast(o0_ref[...].astype(dt))
+    emb = jnp.broadcast_to(start_ref[0][None, :], (BK, emb_dim)).astype(dt)
+    # only beam 0 live at t=0
+    beam_idx = jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0) % K
+    log_probs = jnp.where(beam_idx == 0, 0.0, NEG)  # (BK, 1) fp32
+    finished = jnp.zeros((BK, 1), jnp.int32)
+    lengths = jnp.zeros((BK, 1), jnp.float32)  # float: updated via matmul
+
+    col_iota_V = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 1)
+    end_row = jnp.where(col_iota_V == id_end, 0.0, NEG)  # (BK, V)
+
+    def step(t, carry):
+        c, h, o, emb, log_probs, finished, lengths = carry
+
+        z = jax.lax.dot_general(
+            jnp.concatenate([emb, o, h], axis=1),
+            lstm_w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + lstm_b_ref[0][None, :]
+        i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
+        new_c = c * jax.nn.sigmoid(f_g + 1.0) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+
+        att_h = jax.lax.dot_general(
+            new_h, att_h_w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, E) fp32
+
+        # attention per beam slice k: image tensors stay un-tiled in VMEM
+        ctx = jnp.zeros((BK, C), jnp.float32)
+        for k in range(K):
+            sel_k = (sel_rows == sel_base + k).astype(dt)  # (Bb, BK)
+            att_h_k = jax.lax.dot_general(
+                sel_k, att_h.astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_copy_precision(dt),
+            )  # (Bb, E)
+            e_k = jnp.tanh(att_img.astype(jnp.float32) + att_h_k[:, None, :])
+            s_k = jnp.sum(e_k * beta_ref[0][None, None, :].astype(jnp.float32), axis=-1)
+            a_k = jax.nn.softmax(s_k, axis=-1)  # (Bb, R) fp32
+            ctx_k = jnp.stack(
+                [
+                    jax.lax.dot_general(
+                        a_k[b][None, :].astype(dt),
+                        regions[b],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )[0]
+                    for b in range(Bb)
+                ],
+                axis=0,
+            )  # (Bb, C) fp32
+            scat_k = (scat_rows == scat_base + k).astype(jnp.float32)  # (BK, Bb)
+            ctx = ctx + jax.lax.dot_general(
+                scat_k, ctx_k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_EXACT,
+            )
+
+        new_o = jnp.tanh(
+            jax.lax.dot_general(
+                new_h, o_w_h_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                ctx.astype(dt), o_w_c_ref[...],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        logits = jax.lax.dot_general(
+            new_o.astype(dt), y_w_o_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (BK, V) fp32
+
+        # log_softmax in fp32 (stable: subtract rowmax first)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        shifted = logits - m
+        step_logp = shifted - jnp.log(jnp.sum(jnp.exp(shifted), axis=-1, keepdims=True))
+        step_logp = jnp.where(finished > 0, end_row, step_logp)
+        total = log_probs + step_logp  # (BK, V)
+
+        # top-K over each group's (K, V) grid: K iterations of segment
+        # argmax, all on full (BK, ·) tensors (sub-8-sublane slices and
+        # tiny matmuls mis-lower on this toolchain). Tie-breaking matches
+        # lax.top_k on the flat (K*V,) vector: lowest parent row first,
+        # then lowest token.
+        work = total  # (BK, V)
+        k_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0) % K
+        ).astype(jnp.float32)
+        j_col = k_idx  # destination beam index per row, same values
+        BIG = jnp.float32(1e30)
+        parents_col = jnp.zeros((BK, 1), jnp.int32)
+        tokens_col = jnp.zeros((BK, 1), jnp.int32)
+        new_lp = jnp.zeros((BK, 1), jnp.float32)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (BK, V), 0)
+        for j in range(K):
+            rowmax = jnp.max(work, axis=1, keepdims=True)  # (BK, 1)
+            grpmax = seg_reduce(rowmax, jnp.maximum)  # (BK, 1)
+            cand = jnp.where(rowmax >= grpmax, k_idx, BIG)
+            parent = seg_reduce(cand, jnp.minimum).astype(jnp.int32)  # (BK, 1)
+            # every row of group g reads the chosen source row g*K+parent
+            srcsel = (perm_cols == group_base + parent).astype(jnp.float32)
+            chosen = jax.lax.dot_general(
+                srcsel, work,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_EXACT,
+            )  # (BK, V): group-constant rows
+            token = jnp.argmax(chosen, axis=-1, keepdims=True).astype(jnp.int32)
+            is_j = j_col == float(j)
+            parents_col = jnp.where(is_j, parent, parents_col)
+            tokens_col = jnp.where(is_j, token, tokens_col)
+            new_lp = jnp.where(is_j, grpmax, new_lp)
+            # retire the chosen (parent, token) cell in every group
+            hit = jnp.logical_and(
+                row_iota == group_base + parent, col_iota_V == token
+            )
+            work = jnp.where(hit, NEG, work)
+
+        ids_ref[0, pl.ds(t, 1), :] = tokens_col.T
+        parents_ref[0, pl.ds(t, 1), :] = parents_col.T
+
+        # permutation: destination row (b, j) pulls source row b*K + parent
+        src = parents_col + group_base  # (BK, 1)
+        perm_iota = jax.lax.broadcasted_iota(jnp.int32, (BK, BK), 1)
+        perm = (perm_iota == src).astype(jnp.float32)
+
+        def permute(x):
+            return jax.lax.dot_general(
+                perm, x.astype(jnp.float32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=_EXACT,
+            ).astype(x.dtype)
+
+        new_c = permute(new_c)
+        new_h = permute(new_h)
+        new_o = permute(new_o)
+        prev_fin = permute(finished.astype(jnp.float32))
+        prev_fin_i = (prev_fin > 0.5).astype(jnp.int32)
+        new_finished = jnp.maximum(prev_fin_i, (tokens_col == id_end).astype(jnp.int32))
+        new_lengths = permute(lengths) + (1 - prev_fin_i).astype(jnp.float32)
+
+        onehot_tok = (col_iota_V == tokens_col).astype(dt)
+        new_emb = jax.lax.dot_general(
+            onehot_tok, table_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_copy_precision(dt),
+        ).astype(dt)
+
+        return (
+            new_c.astype(c.dtype),
+            new_h.astype(h.dtype),
+            new_o.astype(o.dtype),
+            new_emb.astype(emb.dtype),
+            new_lp,
+            new_finished,
+            new_lengths,
+        )
+
+    carry = (c, h, o, emb, log_probs, finished, lengths)
+    _, _, _, _, log_probs, _, lengths = jax.lax.fori_loop(0, T, step, carry)
+    lp_ref[0] = log_probs
+    len_ref[0] = lengths.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_length", "id_end", "beam_size", "length_norm_alpha", "block_b",
+        "interpret",
+    ),
+)
+def decode_beam_megakernel(
+    dec_params: Dict,
+    img_feat: jnp.ndarray,  # (B, H, W, C) or (B, R, C)
+    max_length: int,
+    id_end: int,
+    beam_size: int,
+    length_norm_alpha: float = 0.0,
+    block_b: int | None = None,
+    interpret: bool = False,
+):
+    """Beam search with the whole T-loop in one Pallas kernel.
+
+    Returns a BeamOutput matching `decode_beam` (no diversity penalty —
+    callers with div enabled use the XLA path). The kernel emits raw
+    (ids, parents, log_probs, lengths) buffers; length normalization and
+    parent backtracking reuse models/decoding.py finalize_beams.
+    """
+    from ..models.decoder import compute_att_img, flatten_regions, initial_state
+    from ..models.decoding import decode_beam, finalize_beams
+
+    K = beam_size
+    if "gate" in dec_params:
+        return decode_beam(
+            dec_params, img_feat, max_length, id_end, K,
+            length_norm_alpha=length_norm_alpha,
+        )
+
+    regions = flatten_regions(img_feat)
+    att_img = compute_att_img(dec_params, regions)
+    s0 = initial_state(dec_params, regions)
+    B, R, C = regions.shape
+    if block_b is None:
+        block_b = _auto_block_b(R, att_img.shape[-1], C, regions.dtype.itemsize)
+        if block_b == 0:
+            return decode_beam(
+                dec_params, img_feat, max_length, id_end, K,
+                length_norm_alpha=length_norm_alpha,
+            )
+
+    pad_b = (-B) % block_b
+    if pad_b:
+        regions = jnp.pad(regions, ((0, pad_b), (0, 0), (0, 0)))
+        att_img = jnp.pad(att_img, ((0, pad_b), (0, 0), (0, 0)))
+        s0 = type(s0)(*(jnp.pad(s, ((0, pad_b), (0, 0))) for s in s0))
+    Bp = B + pad_b
+    n_blocks = Bp // block_b
+    BK = block_b * K
+
+    dt = regions.dtype
+    lstm_w = dec_params["lstm"]["w"].astype(dt)
+    lstm_b = dec_params["lstm"]["b"].astype(jnp.float32)[None, :]
+    att = dec_params["att"]
+    out = dec_params["out"]
+    T = max_length
+
+    kernel = functools.partial(_beam_kernel, T=T, K=K, id_end=id_end)
+
+    ids_tb, parents_tb, lp, lens = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_b, R, att_img.shape[-1]), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, R, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.c.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.h.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, s0.o.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lstm_w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(lstm_b.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(att["h_w"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, att["beta"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["o_w_h"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["o_w_c"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(out["y_w_o"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(dec_params["embedding_table"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dec_params["start_token"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, BK), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, BK), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, 1), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_blocks, T, BK), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, T, BK), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, BK, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, BK, 1), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(
+        att_img,
+        regions,
+        s0.c.astype(dt),
+        s0.h.astype(dt),
+        s0.o.astype(dt),
+        lstm_w,
+        lstm_b,
+        att["h_w"].astype(dt),
+        att["beta"].astype(dt)[None, :],
+        out["o_w_h"].astype(dt),
+        out["o_w_c"].astype(dt),
+        out["y_w_o"].astype(dt),
+        dec_params["embedding_table"].astype(dt),
+        dec_params["start_token"].astype(dt)[None, :],
+    )
+
+    # (n_blocks, T, Bb*K) -> (T, B, K); the BK axis is (Bb, K) row-major
+    ids_buf = jnp.transpose(ids_tb, (1, 0, 2)).reshape(T, Bp, K)[:, :B]
+    parents_buf = jnp.transpose(parents_tb, (1, 0, 2)).reshape(T, Bp, K)[:, :B]
+    log_probs = lp.reshape(Bp, K)[:B]
+    lengths = lens.reshape(Bp, K)[:B]
+    return finalize_beams(ids_buf, parents_buf, log_probs, lengths, length_norm_alpha)

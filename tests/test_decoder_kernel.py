@@ -18,3 +18,26 @@ def test_megakernel_matches_decode_greedy_interpret():
     ref = decode_greedy(dec, feat, 7, 10)
     mega = decode_greedy_megakernel(dec, feat, 7, 10, block_b=4, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(mega))
+
+
+def test_beam_megakernel_matches_decode_beam_interpret():
+    """Beam megakernel == XLA decode_beam in interpret mode: aligned ids,
+    scores, and the GNMT length-norm re-ranking path."""
+    from latex_ocr_tpu.models.decoding import decode_beam
+    from latex_ocr_tpu.ops.decoder_kernel import decode_beam_megakernel
+
+    cfg = Config({"attn_cell_config": {"cell_type": "lstm", "num_units": 16,
+                                        "dim_e": 8, "dim_o": 16, "dim_embeddings": 8}})
+    dec = init_decoder_params(jax.random.PRNGKey(1), cfg, n_tok=11, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(2), (5, 2, 4, 512), jnp.float32)
+    for alpha in (0.0, 0.6):
+        ref = decode_beam(dec, feat, 7, 10, beam_size=3, length_norm_alpha=alpha)
+        mega = decode_beam_megakernel(
+            dec, feat, 7, 10, beam_size=3, length_norm_alpha=alpha,
+            block_b=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+        np.testing.assert_allclose(
+            np.asarray(ref.log_probs), np.asarray(mega.log_probs),
+            rtol=1e-5, atol=1e-5,
+        )
