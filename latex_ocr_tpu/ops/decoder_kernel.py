@@ -184,18 +184,20 @@ def _kernel(
 def _auto_block_b(R: int, E: int, C: int, itemsize: int) -> int:
     """Largest batch block whose image tensors fit the VMEM budget, or 0.
 
-    Weights + pipeline overhead eat roughly half the ~16 MB VMEM; the
-    per-block att_img (Bb, R, E) + regions (Bb, R, C) get the rest.
-    Empirically (v5e, fp32, R=184): block 8 fits, block 16 exceeds the
-    16 MB scoped limit by 0.3 MB — an 8 MB image-tensor budget matches.
+    v5e has 128 MB of physical VMEM; the default 16 MB scoped limit is
+    raised via vmem_limit_bytes, so blocks are sized against a 24 MB
+    image-tensor budget (double-buffered by the pipeline, plus ~12 MB of
+    weights, comfortably under 100 MB). Bigger blocks help the MXU: at
+    R=184/fp32/T=151, block 8 -> 20.2 ms, block 16 -> 13.3 ms,
+    block 32 -> 10.6 ms per B=256 decode.
 
     Mosaic requires block sublane dims divisible by 8, so the block floor
     is 8; returns 0 when even a block of 8 cannot hold the image tensors
     (huge buckets, e.g. R≈4500 for 1600x200) — callers fall back to the
     XLA decode loop there.
     """
-    budget = 8 * 1024 * 1024
-    bb = 32
+    budget = 24 * 1024 * 1024
+    bb = 64
     while bb > 8 and bb * R * (E + C) * itemsize > budget:
         bb //= 2
     if bb * R * (E + C) * itemsize > budget:
@@ -278,6 +280,7 @@ def decode_greedy_megakernel(
         out_shape=jax.ShapeDtypeStruct((n_blocks, T, block_b), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
@@ -605,6 +608,10 @@ def decode_beam_megakernel(
                 dec_params, img_feat, max_length, id_end, K,
                 length_norm_alpha=length_norm_alpha,
             )
+        # the top-k permutation matmuls scale with (Bb*K)^2 — measured
+        # sweet spot is Bb*K around 64-128 (bf16, R=184: K=2 best at
+        # Bb=32-64, K=5 best at Bb=16-24)
+        block_b = min(block_b, max(8, (128 // K) // 8 * 8))
 
     pad_b = (-B) % block_b
     if pad_b:
@@ -657,6 +664,7 @@ def decode_beam_megakernel(
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
