@@ -81,6 +81,46 @@ def test_graft_dryrun_reexecs_when_backend_unsuitable(monkeypatch):
     assert "device_count=16" in calls["env"]["XLA_FLAGS"]
 
 
+def test_multiprocess_distributed_train_step():
+    """True multi-HOST run: 2 local processes, each with 2 CPU devices, join
+    via jax.distributed.initialize (gloo collectives standing in for
+    ICI/DCN), assemble host-local batches with global_batch_from_host_local,
+    and take one DP train step. Both hosts must report the identical loss —
+    proof the gradient all-reduce crossed the process boundary.
+
+    Exercises parallel/distributed.py end-to-end (the module the reference
+    has no analogue for; SURVEY.md §2.3 distributed-comm row).
+    """
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_distributed_worker.py")
+    env = {k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+    losses = []
+    for pid, out in enumerate(outs):
+        line = [ln for ln in out.splitlines() if ln.startswith(f"HOST {pid} LOSS")]
+        assert line, f"no loss line from host {pid}:\n{out}"
+        losses.append(float(line[0].split()[-1]))
+    assert losses[0] == losses[1], f"hosts disagree: {losses}"
+    assert np.isfinite(losses[0])
+
+
 def test_dp_grads_match_single_device(mesh):
     """DP-sharded train step == single-device step on the same batch."""
     import __graft_entry__ as ge
