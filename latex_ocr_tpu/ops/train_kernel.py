@@ -1,0 +1,671 @@
+"""Pallas TRAINING megakernel for the teacher-forced decoder scan.
+
+Profiled round-2 breakdown of the 31.8 ms train step (B=256, bucket
+400x100, T=64, bf16): encoder fwd+bwd 19.8 ms (FLOPs-bound at ~51% MFU),
+decoder fwd+bwd 10.3 ms. The decoder is HBM-bound: under `lax.scan` +
+remat, every step re-reads att_img (B,R,E) + regions (B,R,C) from HBM —
+~36 MB x T=64 steps x 3 passes ~= 6.9 GB/step, ~8.6 ms at v5e HBM
+bandwidth, i.e. essentially all of the decoder's time.
+
+This module fuses the whole teacher-forced scan (fwd) and its
+hand-derived backward into two Pallas kernels that pin one batch block's
+image tensors and every decoder weight in VMEM across all T steps: each
+image byte crosses HBM once per pass instead of once per step, and the
+backward needs no XLA rematerialization (it recomputes gates/attention
+from the per-step h/c/o/a residuals while the inputs sit in VMEM).
+
+Kernel geometry: grid = (n_blocks, T) with the time axis as the inner
+sequential grid dimension. Per-step tensors (embeddings, residuals,
+dlogits) are streamed as (1, Bb, D) windows — Pallas double-buffers them
+behind the compute — while att_img/regions/weights windows are constant
+along t and stay VMEM-resident. LSTM/attention carries live in VMEM
+scratch that persists across grid steps. This keeps the batch block at
+64 rows (full MXU sublane utilization) where a whole-T residual layout
+would blow VMEM. The backward walks t in reverse purely through its
+index_maps (window t -> T-1-t).
+
+Semantics mirror models/decoder.py teacher_forcing_logits with
+keep_prob=1.0 exactly (the dropout path falls back to the XLA scan).
+The reference pays the per-step HBM re-read implicitly through
+tf.while_loop/dynamic_rnn (reference model/decoder.py:57,
+components/attention_mechanism.py:43).
+
+Same Mosaic rules as ops/decoder_kernel.py: everything >= 2-D inside the
+loop body, f32 accumulators, attention scores/softmax in f32 but the e
+tensor in the compute dtype (exactly like the XLA path — and half the
+VPU cost of f32 tanh when training in bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dot(a, b):
+    """2-D (M,K)@(K,N) with f32 accumulation (MXU-native)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_t(a, b):
+    """(M,K)@(N,K)^T -> (M,N), f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_tn(a, b):
+    """(K,M)^T@(K,N) -> (M,N), f32 accumulation (for weight grads)."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _lstm_gates(z):
+    """TF1 BasicLSTMCell nonlinearities, gate order (i, j, f, o),
+    forget_bias=1.0 (models/decoder.py lstm_step)."""
+    i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
+    ci = jax.nn.sigmoid(i_g)
+    cj = jnp.tanh(j_g)
+    cf = jax.nn.sigmoid(f_g + 1.0)
+    co = jax.nn.sigmoid(o_g)
+    return ci, cj, cf, co
+
+
+def _attention(att_img, h_dt, att_h_w_ref, beta_f32):
+    """e (dt), a (f32) for the current step. att_img (Bb,R,E) dt."""
+    att_h = _dot(h_dt, att_h_w_ref[...])  # (Bb, E) f32
+    e = jnp.tanh(att_img + att_h.astype(att_img.dtype)[:, None, :])  # dt
+    s = jnp.sum(e.astype(jnp.float32) * beta_f32, axis=-1)  # (Bb, R) f32
+    a = jax.nn.softmax(s, axis=-1)
+    return e, a
+
+
+def _context(a_f32, regions):
+    """ctx[b] = a[b] @ regions[b] as a lane-parallel mul+sublane-reduce
+    (one (Bb,R,C) FMA pass; beats Bb separate (1,R)@(R,C) matvecs that
+    use 1/128 of the MXU's rows)."""
+    return jnp.sum(
+        a_f32[:, :, None].astype(regions.dtype) * regions, axis=1
+    ).astype(jnp.float32)  # (Bb, C)
+
+
+# ------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(
+    att_img_ref,  # (Bb, R, E) dt       [constant over t]
+    regions_ref,  # (Bb, R, C) dt       [constant over t]
+    c0_ref,  # (Bb, U)                  [constant over t]
+    h0_ref,  # (Bb, U)
+    o0_ref,  # (Bb, O)
+    emb_ref,  # (1, Bb, emb)            [window at t]
+    lstm_w_ref,  # (emb+O+U, 4U)        [constant]
+    lstm_b_ref,  # (1, 4U)
+    att_h_w_ref,  # (U, E)
+    beta_ref,  # (1, E)
+    o_w_h_ref,  # (U, O)
+    o_w_c_ref,  # (C, O)
+    y_w_o_ref,  # (O, V)
+    logits_ref,  # out (1, Bb, V) f32   [window at t]
+    c_out_ref,  # out (1, Bb, U) dt
+    h_out_ref,  # out (1, Bb, U) dt
+    o_out_ref,  # out (1, Bb, O) dt
+    a_out_ref,  # out (1, Bb, R) f32
+    c_scr,  # scratch (Bb, U) dt
+    h_scr,  # scratch (Bb, U) dt
+    o_scr,  # scratch (Bb, O) dt
+):
+    t = pl.program_id(1)
+    dt = regions_ref.dtype
+
+    @pl.when(t == 0)
+    def _init():
+        c_scr[...] = c0_ref[...].astype(dt)
+        h_scr[...] = h0_ref[...].astype(dt)
+        o_scr[...] = o0_ref[...].astype(dt)
+
+    att_img = att_img_ref[...]
+    regions = regions_ref[...]
+    emb = emb_ref[0].astype(dt)  # (Bb, emb)
+
+    z = _dot(
+        jnp.concatenate([emb, o_scr[...], h_scr[...]], axis=1), lstm_w_ref[...]
+    ) + lstm_b_ref[0][None, :]
+    ci, cj, cf, co = _lstm_gates(z)
+    new_c = c_scr[...].astype(jnp.float32) * cf + ci * cj
+    new_h = jnp.tanh(new_c) * co
+    new_h_dt = new_h.astype(dt)
+
+    beta_f32 = beta_ref[0][None, None, :].astype(jnp.float32)
+    _, a = _attention(att_img, new_h_dt, att_h_w_ref, beta_f32)
+    ctx = _context(a, regions)
+
+    new_o = jnp.tanh(
+        _dot(new_h_dt, o_w_h_ref[...]) + _dot(ctx.astype(dt), o_w_c_ref[...])
+    )
+    new_o_dt = new_o.astype(dt)
+    logits = _dot(new_o_dt, y_w_o_ref[...])  # (Bb, V) f32
+
+    logits_ref[0] = logits
+    c_out_ref[0] = new_c.astype(dt)
+    h_out_ref[0] = new_h_dt
+    o_out_ref[0] = new_o_dt
+    a_out_ref[0] = a
+    c_scr[...] = new_c.astype(dt)
+    h_scr[...] = new_h_dt
+    o_scr[...] = new_o_dt
+
+
+# ------------------------------------------------------------------ backward
+
+
+def _bwd_kernel(
+    # constants per block
+    att_img_ref,  # (Bb, R, E)
+    regions_ref,  # (Bb, R, C)
+    c0_ref,  # (Bb, U)
+    h0_ref,  # (Bb, U)
+    o0_ref,  # (Bb, O)
+    lstm_w_ref,  # (emb+O+U, 4U)
+    lstm_b_ref,  # (1, 4U)
+    att_h_w_ref,  # (U, E)
+    beta_ref,  # (1, E)
+    o_w_h_ref,  # (U, O)
+    o_w_c_ref,  # (C, O)
+    y_w_o_ref,  # (O, V)
+    # streamed windows at t_actual = T-1-t (reverse walk via index_map)
+    emb_ref,  # (1, Bb, emb)
+    c_t_ref,  # (1, Bb, U)
+    h_t_ref,  # (1, Bb, U)
+    o_t_ref,  # (1, Bb, O)
+    a_t_ref,  # (1, Bb, R) f32
+    c_p_ref,  # (1, Bb, U)   state at t_actual-1 (t_actual=0 -> unused)
+    h_p_ref,  # (1, Bb, U)
+    o_p_ref,  # (1, Bb, O)
+    dlogits_ref,  # (1, Bb, V) f32
+    # outputs
+    d_att_img_ref,  # (Bb, R, E) f32  [accumulated across t]
+    d_regions_ref,  # (Bb, R, C) f32  [accumulated across t]
+    d_c0_ref,  # (Bb, U) f32
+    d_h0_ref,  # (Bb, U) f32
+    d_o0_ref,  # (Bb, O) f32
+    d_embs_ref,  # (1, Bb, emb) f32   [window at t_actual]
+    d_lstm_w_ref,  # f32 [accumulated across blocks and t]
+    d_lstm_b_ref,
+    d_att_h_w_ref,
+    d_beta_ref,
+    d_o_w_h_ref,
+    d_o_w_c_ref,
+    d_y_w_o_ref,
+    # scratch carries
+    dh_scr,  # (Bb, U) f32
+    do_scr,  # (Bb, O) f32
+    dc_scr,  # (Bb, U) f32
+    *,
+    T: int,
+    emb_dim: int,
+):
+    t = pl.program_id(1)  # 0..T-1, walking t_actual = T-1-t
+    is_first = t == 0  # t_actual == T-1
+    is_last = t == T - 1  # t_actual == 0
+    dt = regions_ref.dtype
+    O = o0_ref.shape[-1]
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, is_first))
+    def _init_weight_grads():
+        d_lstm_w_ref[...] = jnp.zeros_like(d_lstm_w_ref)
+        d_lstm_b_ref[...] = jnp.zeros_like(d_lstm_b_ref)
+        d_att_h_w_ref[...] = jnp.zeros_like(d_att_h_w_ref)
+        d_beta_ref[...] = jnp.zeros_like(d_beta_ref)
+        d_o_w_h_ref[...] = jnp.zeros_like(d_o_w_h_ref)
+        d_o_w_c_ref[...] = jnp.zeros_like(d_o_w_c_ref)
+        d_y_w_o_ref[...] = jnp.zeros_like(d_y_w_o_ref)
+
+    @pl.when(is_first)
+    def _init_block():
+        d_att_img_ref[...] = jnp.zeros_like(d_att_img_ref)
+        d_regions_ref[...] = jnp.zeros_like(d_regions_ref)
+        dh_scr[...] = jnp.zeros_like(dh_scr)
+        do_scr[...] = jnp.zeros_like(do_scr)
+        dc_scr[...] = jnp.zeros_like(dc_scr)
+
+    att_img = att_img_ref[...]
+    regions = regions_ref[...]
+    beta_f32 = beta_ref[0][None, None, :].astype(jnp.float32)
+
+    h_t = h_t_ref[0]
+    c_t = c_t_ref[0]
+    o_t = o_t_ref[0]
+    a_t = a_t_ref[0]  # f32
+    dlogits_t = dlogits_ref[0]  # f32
+    # previous-step state: the stored t_actual-1 window, or the initial
+    # state on the final (t_actual == 0) grid step
+    h_prev = jnp.where(is_last, h0_ref[...].astype(dt), h_p_ref[0])
+    c_prev = jnp.where(is_last, c0_ref[...].astype(dt), c_p_ref[0])
+    o_prev = jnp.where(is_last, o0_ref[...].astype(dt), o_p_ref[0])
+    emb_t = emb_ref[0].astype(dt)
+
+    # ---- recompute forward intermediates (all VMEM-resident)
+    x_t = jnp.concatenate([emb_t, o_prev, h_prev], axis=1)  # (Bb, emb+O+U)
+    z = _dot(x_t, lstm_w_ref[...]) + lstm_b_ref[0][None, :]
+    ci, cj, cf, co = _lstm_gates(z)
+    tc = jnp.tanh(c_t.astype(jnp.float32))
+    e, _ = _attention(att_img, h_t, att_h_w_ref, beta_f32)  # e dt
+    ctx = _context(a_t, regions)  # (Bb, C) f32
+
+    # ---- output head: logits = o_t @ Wy
+    d_y_w_o_ref[...] += _dot_tn(o_t.astype(jnp.float32), dlogits_t)
+    d_o_total = _dot_t(dlogits_t, y_w_o_ref[...].astype(jnp.float32)) + do_scr[...]
+
+    # o_t = tanh(h_t @ Wh + ctx @ Wc)
+    d_p = d_o_total * (1.0 - o_t.astype(jnp.float32) ** 2)  # (Bb, O) f32
+    d_o_w_h_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_p)
+    d_o_w_c_ref[...] += _dot_tn(ctx, d_p)
+    dh = _dot_t(d_p, o_w_h_ref[...].astype(jnp.float32))  # (Bb, U)
+    d_ctx = _dot_t(d_p, o_w_c_ref[...].astype(jnp.float32))  # (Bb, C)
+
+    # ctx = a @ regions: lane-parallel forms of the matvec pair
+    d_a = jnp.sum(
+        d_ctx[:, None, :] * regions.astype(jnp.float32), axis=2
+    )  # (Bb, R)
+    d_regions_ref[...] += a_t[:, :, None] * d_ctx[:, None, :]  # (Bb, R, C)
+
+    # a = softmax(s)
+    d_s = a_t * (d_a - jnp.sum(d_a * a_t, axis=-1, keepdims=True))  # (Bb, R)
+
+    # s = sum_E e * beta ; e = tanh(att_img + att_h)
+    e_f32 = e.astype(jnp.float32)
+    d_pre_e = (d_s[:, :, None] * beta_f32) * (1.0 - e_f32 * e_f32)  # (Bb,R,E)
+    d_beta_ref[...] += jnp.sum(e_f32 * d_s[:, :, None], axis=(0, 1))[None, :]
+    d_att_img_ref[...] += d_pre_e
+    d_ah = jnp.sum(d_pre_e, axis=1)  # (Bb, E)
+
+    # att_h = h_t @ A
+    d_att_h_w_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_ah)
+    dh = dh + _dot_t(d_ah, att_h_w_ref[...].astype(jnp.float32))
+    dh = dh + dh_scr[...]  # total grad into h_t
+
+    # h_t = tanh(c_t) * co ; c_t = c_prev * cf + ci * cj
+    d_tc = dh * co
+    d_co = dh * tc
+    d_c_total = dc_scr[...] + d_tc * (1.0 - tc * tc)
+    d_cf = d_c_total * c_prev.astype(jnp.float32)
+    d_ci = d_c_total * cj
+    d_cj = d_c_total * ci
+    dc_prev = d_c_total * cf
+
+    # gate nonlinearities, gate order (i, j, f, o)
+    d_z = jnp.concatenate(
+        [
+            d_ci * ci * (1.0 - ci),
+            d_cj * (1.0 - cj * cj),
+            d_cf * cf * (1.0 - cf),
+            d_co * co * (1.0 - co),
+        ],
+        axis=1,
+    )  # (Bb, 4U) f32
+
+    # z = x @ W + b
+    d_lstm_w_ref[...] += _dot_tn(x_t.astype(jnp.float32), d_z)
+    d_lstm_b_ref[...] += jnp.sum(d_z, axis=0)[None, :]
+    d_x = _dot_t(d_z, lstm_w_ref[...].astype(jnp.float32))  # (Bb, emb+O+U)
+
+    d_embs_ref[0] = d_x[:, :emb_dim]
+    do_scr[...] = d_x[:, emb_dim : emb_dim + O]
+    dh_scr[...] = d_x[:, emb_dim + O :]
+    dc_scr[...] = dc_prev
+
+    @pl.when(is_last)
+    def _emit_initial_state_grads():
+        d_c0_ref[...] = dc_prev
+        d_h0_ref[...] = d_x[:, emb_dim + O :]
+        d_o0_ref[...] = d_x[:, emb_dim : emb_dim + O]
+
+
+# --------------------------------------------------------------- host wiring
+
+
+def _weights_tuple(dec_params, dt):
+    att = dec_params["att"]
+    out = dec_params["out"]
+    return (
+        dec_params["lstm"]["w"].astype(dt),
+        dec_params["lstm"]["b"].astype(jnp.float32)[None, :],
+        att["h_w"].astype(dt),
+        att["beta"].astype(dt)[None, :],
+        out["o_w_h"].astype(dt),
+        out["o_w_c"].astype(dt),
+        out["y_w_o"].astype(dt),
+    )
+
+
+def train_block_b(R: int, E: int, C: int, itemsize: int) -> int:
+    """Largest batch block that fits the backward kernel's VMEM budget.
+
+    Residents per block: att_img/regions (dt, double-buffered across
+    blocks) + their f32 grad accumulators + ~2.5 f32 (Bb,R,E)-sized
+    temporaries (e recompute, d_pre_e, d_regions update) + ~25 MB of
+    weights/weight-grads/streamed windows. Budget the (Bb,R,*)-
+    proportional part at 72 MB of the 128 MB physical VMEM; 0 = even a
+    block of 8 does not fit (huge buckets), caller falls back to XLA.
+    """
+    budget = 72 * 1024 * 1024
+    bb = 64
+    while bb >= 8:
+        per_block = (
+            2 * bb * R * (E + C) * itemsize  # inputs, double-buffered
+            + bb * R * (E + C) * 4  # f32 grad accumulators
+            + int(2.5 * bb * R * max(E, C) * 4)  # f32 temporaries
+        )
+        if per_block <= budget:
+            return bb
+        bb //= 2
+    return 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def teacher_forcing_megakernel(
+    lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o,
+    T: int, block_b: int, interpret: bool,
+    att_img, regions, c0, h0, o0, embs,
+):
+    """Teacher-forced logits with the whole scan in one Pallas kernel.
+
+    Differentiable via the paired backward kernel. Weights first
+    (differentiable positions 0-6), static config in the middle,
+    activations after. Returns logits (B, T, V) f32. Use the
+    `teacher_forcing_fused` wrapper.
+    """
+    logits, _ = _fwd_call(
+        lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o,
+        att_img, regions, c0, h0, o0, embs, T, block_b, interpret,
+    )
+    return logits
+
+
+def _pad_block(x, pad_b, axis=0):
+    if pad_b == 0:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, pad_b)
+    return jnp.pad(x, pads)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda b, t: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _block_spec(shape2d_tail, block_b):
+    # (Bb, ...) tensors indexed by block only
+    shape = (block_b,) + tuple(shape2d_tail)
+    nd = len(shape)
+    return pl.BlockSpec(
+        shape, lambda b, t: (b,) + (0,) * (nd - 1), memory_space=pltpu.VMEM
+    )
+
+
+def _step_spec(block_b, d, reverse_T=None):
+    # (1, Bb, D) windows over a (T, Bp, D) tensor at t (or T-1-t)
+    if reverse_T is None:
+        return pl.BlockSpec(
+            (1, block_b, d), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+        )
+    Tm1 = reverse_T - 1
+    return pl.BlockSpec(
+        (1, block_b, d), lambda b, t: (Tm1 - t, b, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _prev_step_spec(block_b, d, T):
+    # window at t_actual - 1 = T-2-t, clamped at 0 (the t_actual == 0 value
+    # is ignored in-kernel in favor of the initial state)
+    Tm2 = T - 2
+    return pl.BlockSpec(
+        (1, block_b, d),
+        lambda b, t: (jnp.maximum(Tm2 - t, 0), b, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _fwd_call(
+    lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o,
+    att_img, regions, c0, h0, o0, embs, T, block_b, interpret,
+):
+    B, R, C = regions.shape
+    E = att_img.shape[-1]
+    U = h0.shape[-1]
+    O = o0.shape[-1]
+    emb = embs.shape[-1]
+    V = y_w_o.shape[-1]
+    dt = regions.dtype
+
+    pad_b = (-B) % block_b
+    att_img_p = _pad_block(att_img, pad_b)
+    regions_p = _pad_block(regions, pad_b)
+    c0_p, h0_p, o0_p = (_pad_block(x, pad_b) for x in (c0, h0, o0))
+    embs_t = _pad_block(jnp.swapaxes(embs, 0, 1), pad_b, axis=1)  # (T, Bp, emb)
+    Bp = B + pad_b
+    n_blocks = Bp // block_b
+
+    weights = (lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o)
+
+    outs = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n_blocks, T),
+        in_specs=[
+            _block_spec((R, E), block_b),
+            _block_spec((R, C), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((O,), block_b),
+            _step_spec(block_b, emb),
+        ]
+        + [_const_spec(w.shape) for w in weights],
+        out_specs=(
+            _step_spec(block_b, V),
+            _step_spec(block_b, U),
+            _step_spec(block_b, U),
+            _step_spec(block_b, O),
+            _step_spec(block_b, R),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, Bp, V), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U), dt),
+            jax.ShapeDtypeStruct((T, Bp, U), dt),
+            jax.ShapeDtypeStruct((T, Bp, O), dt),
+            jax.ShapeDtypeStruct((T, Bp, R), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, U), dt),
+            pltpu.VMEM((block_b, U), dt),
+            pltpu.VMEM((block_b, O), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(att_img_p, regions_p, c0_p, h0_p, o0_p, embs_t, *weights)
+
+    logits_t, c_all, h_all, o_all, a_all = outs
+    logits = jnp.swapaxes(logits_t, 0, 1)[:B]  # (B, T, V) f32
+    residuals = (c_all, h_all, o_all, a_all, embs_t, att_img_p, regions_p,
+                 c0_p, h0_p, o0_p, weights, B, pad_b)
+    return logits, residuals
+
+
+def _mega_fwd(
+    lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o,
+    T, block_b, interpret,
+    att_img, regions, c0, h0, o0, embs,
+):
+    return _fwd_call(
+        lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o,
+        att_img, regions, c0, h0, o0, embs, T, block_b, interpret,
+    )
+
+
+def _mega_bwd(T, block_b, interpret, residuals, d_logits):
+    (c_all, h_all, o_all, a_all, embs_t, att_img_p, regions_p,
+     c0_p, h0_p, o0_p, weights, B, pad_b) = residuals
+    lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o = weights
+    Bp, R, C = regions_p.shape
+    E = att_img_p.shape[-1]
+    U = h0_p.shape[-1]
+    O = o0_p.shape[-1]
+    emb = embs_t.shape[-1]
+    V = y_w_o.shape[-1]
+    dt = regions_p.dtype
+    n_blocks = Bp // block_b
+
+    dlogits_t = _pad_block(
+        jnp.swapaxes(d_logits.astype(jnp.float32), 0, 1), pad_b, axis=1
+    )  # (T, Bp, V)
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, T=T, emb_dim=emb),
+        grid=(n_blocks, T),
+        in_specs=[
+            _block_spec((R, E), block_b),
+            _block_spec((R, C), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((O,), block_b),
+        ]
+        + [_const_spec(w.shape) for w in weights]
+        + [
+            _step_spec(block_b, emb, reverse_T=T),
+            _step_spec(block_b, U, reverse_T=T),
+            _step_spec(block_b, U, reverse_T=T),
+            _step_spec(block_b, O, reverse_T=T),
+            _step_spec(block_b, R, reverse_T=T),
+            _prev_step_spec(block_b, U, T),
+            _prev_step_spec(block_b, U, T),
+            _prev_step_spec(block_b, O, T),
+            _step_spec(block_b, V, reverse_T=T),
+        ],
+        out_specs=(
+            _block_spec((R, E), block_b),
+            _block_spec((R, C), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((U,), block_b),
+            _block_spec((O,), block_b),
+            _step_spec(block_b, emb, reverse_T=T),
+            _const_spec(lstm_w.shape),
+            _const_spec(lstm_b.shape),
+            _const_spec(att_h_w.shape),
+            _const_spec(beta.shape),
+            _const_spec(o_w_h.shape),
+            _const_spec(o_w_c.shape),
+            _const_spec(y_w_o.shape),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, R, E), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, R, C), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, U), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, U), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, O), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, emb), jnp.float32),
+            jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
+            jax.ShapeDtypeStruct(att_h_w.shape, jnp.float32),
+            jax.ShapeDtypeStruct(beta.shape, jnp.float32),
+            jax.ShapeDtypeStruct(o_w_h.shape, jnp.float32),
+            jax.ShapeDtypeStruct(o_w_c.shape, jnp.float32),
+            jax.ShapeDtypeStruct(y_w_o.shape, jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, U), jnp.float32),
+            pltpu.VMEM((block_b, O), jnp.float32),
+            pltpu.VMEM((block_b, U), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        att_img_p, regions_p, c0_p, h0_p, o0_p, *weights,
+        embs_t, c_all, h_all, o_all, a_all, c_all, h_all, o_all, dlogits_t,
+    )
+
+    (d_att_img, d_regions, d_c0, d_h0, d_o0, d_embs_t,
+     d_lstm_w, d_lstm_b, d_att_h_w, d_beta, d_o_w_h, d_o_w_c, d_y_w_o) = outs
+
+    dt_w = lstm_w.dtype
+    return (
+        d_lstm_w.astype(dt_w),
+        d_lstm_b.astype(lstm_b.dtype),
+        d_att_h_w.astype(dt_w),
+        d_beta.astype(beta.dtype),
+        d_o_w_h.astype(dt_w),
+        d_o_w_c.astype(dt_w),
+        d_y_w_o.astype(dt_w),
+        d_att_img[:B].astype(dt),
+        d_regions[:B].astype(dt),
+        d_c0[:B].astype(dt),
+        d_h0[:B].astype(dt),
+        d_o0[:B].astype(dt),
+        jnp.swapaxes(d_embs_t, 0, 1)[:B].astype(dt),
+    )
+
+
+teacher_forcing_megakernel.defvjp(_mega_fwd, _mega_bwd)
+
+
+def teacher_forcing_fused(
+    dec_params: Dict,
+    img_feat: jnp.ndarray,  # (B, H, W, C) or (B, R, C)
+    formula: jnp.ndarray,  # (B, T) int32
+    block_b: int | None = None,
+    interpret: bool = False,
+):
+    """Drop-in differentiable replacement for teacher_forcing_logits
+    (keep_prob=1.0, no attention output, no SAT gate). Returns logits
+    (B, T, V) f32, or None when the shapes don't fit the kernel's VMEM
+    budget (caller falls back to the XLA scan).
+
+    The pre/post computation (att_img projection, mean-feature initial
+    state, embedding gather) stays in XLA and is differentiated by XLA;
+    only the T-step recurrence runs in the Pallas pair.
+    """
+    from ..models.decoder import (
+        compute_att_img,
+        flatten_regions,
+        initial_state,
+        shifted_embeddings,
+    )
+
+    if "gate" in dec_params:
+        return None
+    regions = flatten_regions(img_feat)
+    att_img = compute_att_img(dec_params, regions)
+    s0 = initial_state(dec_params, regions)
+    dt = regions.dtype
+    embs = shifted_embeddings(dec_params, formula).astype(dt)
+    B, R, C = regions.shape
+    E = att_img.shape[-1]
+    T = formula.shape[1]
+    if block_b is None:
+        block_b = train_block_b(R, E, C, regions.dtype.itemsize)
+        if block_b == 0:
+            return None
+
+    w = _weights_tuple(dec_params, dt)
+    return teacher_forcing_megakernel(
+        *w, T, block_b, interpret,
+        att_img, regions, s0.c.astype(dt), s0.h.astype(dt), s0.o.astype(dt),
+        embs,
+    )
