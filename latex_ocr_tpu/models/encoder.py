@@ -127,7 +127,11 @@ def _conv2d(x, w, b, *, stride=(1, 1), padding="SAME"):
 
 def _max_pool(x, window: Tuple[int, int], stride: Tuple[int, int]):
     # -inf init is required for XLA to lower this to the differentiable
-    # reduce-window-max (finfo.min falls back to a non-autodiff reduction)
+    # reduce-window-max (finfo.min falls back to a non-autodiff reduction).
+    # Measured (round 2, interleaved A/B at the bench shape): this
+    # SelectAndScatter-gradient formulation BEATS both a 6-D reshape +
+    # axis-max (encoder fwd+bwd 20.9 -> 26.7 ms; the reshape breaks the
+    # conv layouts) and strided-slice maximums (49.7 ms) — keep it.
     return jax.lax.reduce_window(
         x,
         -jnp.inf,

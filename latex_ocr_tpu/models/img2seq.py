@@ -99,6 +99,17 @@ class Img2SeqModel:
 
             mega = _jax.default_backend() not in ("cpu", "gpu")
         self.use_megakernel = bool(mega)
+        # Training megakernel (ops/train_kernel.py): teacher-forced scan +
+        # hand-derived backward as one Pallas pair, image tensors resident
+        # in VMEM across all T steps. Opt-in (default OFF): measured on
+        # v5e the decoder scan is VPU-roofline bound (the Bahdanau tanh
+        # over (B,R,E)), and XLA already hides its HBM re-reads behind
+        # that compute, so removing the traffic does not pay — see
+        # docs/design.md §11. Requires dropout off (keep_prob == 1.0, a
+        # static jit arg) and no attention output.
+        self.use_train_megakernel = bool(
+            getattr(config, "use_train_megakernel", False)
+        )
 
     # ------------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> Dict:
@@ -124,10 +135,17 @@ class Img2SeqModel:
                 return_attention=True,
             )
         else:
-            logits = teacher_forcing_logits(
-                params["decoder"], feat, batch["formula"],
-                dropout_rng=dropout_rng, keep_prob=keep_prob,
-            )
+            logits = None
+            if self.use_train_megakernel and (dropout_rng is None or keep_prob >= 1.0):
+                from ..ops.train_kernel import teacher_forcing_fused
+
+                # returns None when the bucket exceeds the VMEM budget
+                logits = teacher_forcing_fused(params["decoder"], feat, batch["formula"])
+            if logits is None:
+                logits = teacher_forcing_logits(
+                    params["decoder"], feat, batch["formula"],
+                    dropout_rng=dropout_rng, keep_prob=keep_prob,
+                )
         loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
         if alpha_c > 0.0:
             # doubly-stochastic attention regularizer (Show-Attend-Tell;

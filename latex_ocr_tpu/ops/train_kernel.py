@@ -14,15 +14,16 @@ image byte crosses HBM once per pass instead of once per step, and the
 backward needs no XLA rematerialization (it recomputes gates/attention
 from the per-step h/c/o/a residuals while the inputs sit in VMEM).
 
-Kernel geometry: grid = (n_blocks, T) with the time axis as the inner
-sequential grid dimension. Per-step tensors (embeddings, residuals,
-dlogits) are streamed as (1, Bb, D) windows — Pallas double-buffers them
-behind the compute — while att_img/regions/weights windows are constant
-along t and stay VMEM-resident. LSTM/attention carries live in VMEM
-scratch that persists across grid steps. This keeps the batch block at
-64 rows (full MXU sublane utilization) where a whole-T residual layout
-would blow VMEM. The backward walks t in reverse purely through its
-index_maps (window t -> T-1-t).
+Kernel geometry: grid = (n_blocks, T/K) with time as the inner sequential
+grid dimension, K consecutive steps statically unrolled per grid
+iteration (K=8). Per-step tensors (embeddings, residuals, dlogits) are
+streamed as (K, Bb, D) windows — Pallas double-buffers them behind the
+compute and the unroll amortizes the per-iteration pipeline overhead —
+while att_img/regions/weights windows are constant along t and stay
+VMEM-resident. LSTM/attention carries live in VMEM scratch persisting
+across grid steps. Batch blocks stay at 64 rows (full MXU sublane
+utilization) where a whole-T residual layout would blow VMEM. The
+backward walks chunks in reverse purely through its index_maps.
 
 Semantics mirror models/decoder.py teacher_forcing_logits with
 keep_prob=1.0 exactly (the dropout path falls back to the XLA scan).
@@ -31,9 +32,9 @@ tf.while_loop/dynamic_rnn (reference model/decoder.py:57,
 components/attention_mechanism.py:43).
 
 Same Mosaic rules as ops/decoder_kernel.py: everything >= 2-D inside the
-loop body, f32 accumulators, attention scores/softmax in f32 but the e
-tensor in the compute dtype (exactly like the XLA path — and half the
-VPU cost of f32 tanh when training in bf16).
+loop body, f32 softmax and f32 accumulation everywhere, but elementwise
+PRODUCTS on (Bb,R,*)-sized tensors in the compute dtype (exactly the XLA
+path's precision story, and half the VPU cost when training in bf16).
 """
 
 from __future__ import annotations
@@ -45,6 +46,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+_CHUNK = 8  # time steps per grid iteration (static unroll)
 
 
 def _dot(a, b):
@@ -86,8 +89,8 @@ def _attention(att_img, h_dt, att_h_w_ref, beta_f32):
     """e (dt), a (f32) for the current step. att_img (Bb,R,E) dt."""
     att_h = _dot(h_dt, att_h_w_ref[...])  # (Bb, E) f32
     e = jnp.tanh(att_img + att_h.astype(att_img.dtype)[:, None, :])  # dt
-    s = jnp.sum(e.astype(jnp.float32) * beta_f32, axis=-1)  # (Bb, R) f32
-    a = jax.nn.softmax(s, axis=-1)
+    s = jnp.sum(e * beta_f32.astype(e.dtype), axis=-1, dtype=jnp.float32)
+    a = jax.nn.softmax(s, axis=-1)  # (Bb, R) f32
     return e, a
 
 
@@ -95,21 +98,20 @@ def _context(a_f32, regions):
     """ctx[b] = a[b] @ regions[b] as a lane-parallel mul+sublane-reduce
     (one (Bb,R,C) FMA pass; beats Bb separate (1,R)@(R,C) matvecs that
     use 1/128 of the MXU's rows)."""
-    return jnp.sum(
-        a_f32[:, :, None].astype(regions.dtype) * regions, axis=1
-    ).astype(jnp.float32)  # (Bb, C)
+    prod = a_f32[:, :, None].astype(regions.dtype) * regions
+    return jnp.sum(prod, axis=1, dtype=jnp.float32)  # (Bb, C)
 
 
 # ------------------------------------------------------------------- forward
 
 
 def _fwd_kernel(
-    att_img_ref,  # (Bb, R, E) dt       [constant over t]
-    regions_ref,  # (Bb, R, C) dt       [constant over t]
-    c0_ref,  # (Bb, U)                  [constant over t]
+    att_img_ref,  # (Bb, R, E) dt       [constant over chunks]
+    regions_ref,  # (Bb, R, C) dt
+    c0_ref,  # (Bb, U)
     h0_ref,  # (Bb, U)
     o0_ref,  # (Bb, O)
-    emb_ref,  # (1, Bb, emb)            [window at t]
+    emb_ref,  # (K, Bb, emb)            [window at chunk]
     lstm_w_ref,  # (emb+O+U, 4U)        [constant]
     lstm_b_ref,  # (1, 4U)
     att_h_w_ref,  # (U, E)
@@ -117,14 +119,16 @@ def _fwd_kernel(
     o_w_h_ref,  # (U, O)
     o_w_c_ref,  # (C, O)
     y_w_o_ref,  # (O, V)
-    logits_ref,  # out (1, Bb, V) f32   [window at t]
-    c_out_ref,  # out (1, Bb, U) dt
-    h_out_ref,  # out (1, Bb, U) dt
-    o_out_ref,  # out (1, Bb, O) dt
-    a_out_ref,  # out (1, Bb, R) f32
+    logits_ref,  # out (K, Bb, V) f32   [window at chunk]
+    c_out_ref,  # out (K, Bb, U) dt
+    h_out_ref,  # out (K, Bb, U) dt
+    o_out_ref,  # out (K, Bb, O) dt
+    a_out_ref,  # out (K, Bb, R) f32
     c_scr,  # scratch (Bb, U) dt
     h_scr,  # scratch (Bb, U) dt
     o_scr,  # scratch (Bb, O) dt
+    *,
+    K: int,
 ):
     t = pl.program_id(1)
     dt = regions_ref.dtype
@@ -137,34 +141,35 @@ def _fwd_kernel(
 
     att_img = att_img_ref[...]
     regions = regions_ref[...]
-    emb = emb_ref[0].astype(dt)  # (Bb, emb)
-
-    z = _dot(
-        jnp.concatenate([emb, o_scr[...], h_scr[...]], axis=1), lstm_w_ref[...]
-    ) + lstm_b_ref[0][None, :]
-    ci, cj, cf, co = _lstm_gates(z)
-    new_c = c_scr[...].astype(jnp.float32) * cf + ci * cj
-    new_h = jnp.tanh(new_c) * co
-    new_h_dt = new_h.astype(dt)
-
     beta_f32 = beta_ref[0][None, None, :].astype(jnp.float32)
-    _, a = _attention(att_img, new_h_dt, att_h_w_ref, beta_f32)
-    ctx = _context(a, regions)
 
-    new_o = jnp.tanh(
-        _dot(new_h_dt, o_w_h_ref[...]) + _dot(ctx.astype(dt), o_w_c_ref[...])
-    )
-    new_o_dt = new_o.astype(dt)
-    logits = _dot(new_o_dt, y_w_o_ref[...])  # (Bb, V) f32
+    c, h, o = c_scr[...], h_scr[...], o_scr[...]
+    for k in range(K):
+        emb = emb_ref[k].astype(dt)  # (Bb, emb)
+        z = _dot(jnp.concatenate([emb, o, h], axis=1), lstm_w_ref[...])
+        z = z + lstm_b_ref[0][None, :]
+        ci, cj, cf, co = _lstm_gates(z)
+        new_c = c.astype(jnp.float32) * cf + ci * cj
+        new_h = jnp.tanh(new_c) * co
+        h = new_h.astype(dt)
 
-    logits_ref[0] = logits
-    c_out_ref[0] = new_c.astype(dt)
-    h_out_ref[0] = new_h_dt
-    o_out_ref[0] = new_o_dt
-    a_out_ref[0] = a
-    c_scr[...] = new_c.astype(dt)
-    h_scr[...] = new_h_dt
-    o_scr[...] = new_o_dt
+        _, a = _attention(att_img, h, att_h_w_ref, beta_f32)
+        ctx = _context(a, regions)
+
+        new_o = jnp.tanh(
+            _dot(h, o_w_h_ref[...]) + _dot(ctx.astype(dt), o_w_c_ref[...])
+        )
+        o = new_o.astype(dt)
+        c = new_c.astype(dt)
+        logits_ref[k] = _dot(o, y_w_o_ref[...])  # (Bb, V) f32
+        c_out_ref[k] = c
+        h_out_ref[k] = h
+        o_out_ref[k] = o
+        a_out_ref[k] = a
+
+    c_scr[...] = c
+    h_scr[...] = h
+    o_scr[...] = o
 
 
 # ------------------------------------------------------------------ backward
@@ -177,31 +182,31 @@ def _bwd_kernel(
     c0_ref,  # (Bb, U)
     h0_ref,  # (Bb, U)
     o0_ref,  # (Bb, O)
-    lstm_w_ref,  # (emb+O+U, 4U)
-    lstm_b_ref,  # (1, 4U)
-    att_h_w_ref,  # (U, E)
-    beta_ref,  # (1, E)
-    o_w_h_ref,  # (U, O)
-    o_w_c_ref,  # (C, O)
-    y_w_o_ref,  # (O, V)
-    # streamed windows at t_actual = T-1-t (reverse walk via index_map)
-    emb_ref,  # (1, Bb, emb)
-    c_t_ref,  # (1, Bb, U)
-    h_t_ref,  # (1, Bb, U)
-    o_t_ref,  # (1, Bb, O)
-    a_t_ref,  # (1, Bb, R) f32
-    c_p_ref,  # (1, Bb, U)   state at t_actual-1 (t_actual=0 -> unused)
-    h_p_ref,  # (1, Bb, U)
-    o_p_ref,  # (1, Bb, O)
-    dlogits_ref,  # (1, Bb, V) f32
+    lstm_w_ref,
+    lstm_b_ref,
+    att_h_w_ref,
+    beta_ref,
+    o_w_h_ref,
+    o_w_c_ref,
+    y_w_o_ref,
+    # streamed chunk windows (reverse walk via index_map)
+    emb_ref,  # (K, Bb, emb)
+    c_t_ref,  # (K, Bb, U)
+    h_t_ref,  # (K, Bb, U)
+    o_t_ref,  # (K, Bb, O)
+    a_t_ref,  # (K, Bb, R) f32
+    c_pc_ref,  # (K, Bb, U)   previous chunk (for k == 0)
+    h_pc_ref,  # (K, Bb, U)
+    o_pc_ref,  # (K, Bb, O)
+    dlogits_ref,  # (K, Bb, V) f32
     # outputs
-    d_att_img_ref,  # (Bb, R, E) f32  [accumulated across t]
-    d_regions_ref,  # (Bb, R, C) f32  [accumulated across t]
+    d_att_img_ref,  # (Bb, R, E) f32  [accumulated across chunks]
+    d_regions_ref,  # (Bb, R, C) f32
     d_c0_ref,  # (Bb, U) f32
     d_h0_ref,  # (Bb, U) f32
     d_o0_ref,  # (Bb, O) f32
-    d_embs_ref,  # (1, Bb, emb) f32   [window at t_actual]
-    d_lstm_w_ref,  # f32 [accumulated across blocks and t]
+    d_embs_ref,  # (K, Bb, emb) f32   [window at chunk]
+    d_lstm_w_ref,  # f32 [accumulated across blocks and chunks]
     d_lstm_b_ref,
     d_att_h_w_ref,
     d_beta_ref,
@@ -213,12 +218,13 @@ def _bwd_kernel(
     do_scr,  # (Bb, O) f32
     dc_scr,  # (Bb, U) f32
     *,
-    T: int,
+    K: int,
     emb_dim: int,
 ):
-    t = pl.program_id(1)  # 0..T-1, walking t_actual = T-1-t
-    is_first = t == 0  # t_actual == T-1
-    is_last = t == T - 1  # t_actual == 0
+    c_id = pl.program_id(1)  # 0..n_chunks-1, walking actual chunks in reverse
+    n_chunks = pl.num_programs(1)
+    is_first = c_id == 0  # actual LAST chunk
+    is_last = c_id == n_chunks - 1  # actual FIRST chunk (contains t=0)
     dt = regions_ref.dtype
     O = o0_ref.shape[-1]
 
@@ -242,95 +248,114 @@ def _bwd_kernel(
 
     att_img = att_img_ref[...]
     regions = regions_ref[...]
+    regions_f32 = regions.astype(jnp.float32)
     beta_f32 = beta_ref[0][None, None, :].astype(jnp.float32)
 
-    h_t = h_t_ref[0]
-    c_t = c_t_ref[0]
-    o_t = o_t_ref[0]
-    a_t = a_t_ref[0]  # f32
-    dlogits_t = dlogits_ref[0]  # f32
-    # previous-step state: the stored t_actual-1 window, or the initial
-    # state on the final (t_actual == 0) grid step
-    h_prev = jnp.where(is_last, h0_ref[...].astype(dt), h_p_ref[0])
-    c_prev = jnp.where(is_last, c0_ref[...].astype(dt), c_p_ref[0])
-    o_prev = jnp.where(is_last, o0_ref[...].astype(dt), o_p_ref[0])
-    emb_t = emb_ref[0].astype(dt)
+    dh_next, do_next, dc_next = dh_scr[...], do_scr[...], dc_scr[...]
+    for k in reversed(range(K)):
+        h_t = h_t_ref[k]
+        c_t = c_t_ref[k]
+        o_t = o_t_ref[k]
+        a_t = a_t_ref[k]  # f32
+        dlogits_t = dlogits_ref[k]  # f32
+        if k > 0:
+            h_prev, c_prev, o_prev = h_t_ref[k - 1], c_t_ref[k - 1], o_t_ref[k - 1]
+        else:
+            # last slice of the previous chunk, or the initial state on
+            # the chunk that contains t = 0
+            h_prev = jnp.where(is_last, h0_ref[...].astype(dt), h_pc_ref[K - 1])
+            c_prev = jnp.where(is_last, c0_ref[...].astype(dt), c_pc_ref[K - 1])
+            o_prev = jnp.where(is_last, o0_ref[...].astype(dt), o_pc_ref[K - 1])
+        emb_t = emb_ref[k].astype(dt)
 
-    # ---- recompute forward intermediates (all VMEM-resident)
-    x_t = jnp.concatenate([emb_t, o_prev, h_prev], axis=1)  # (Bb, emb+O+U)
-    z = _dot(x_t, lstm_w_ref[...]) + lstm_b_ref[0][None, :]
-    ci, cj, cf, co = _lstm_gates(z)
-    tc = jnp.tanh(c_t.astype(jnp.float32))
-    e, _ = _attention(att_img, h_t, att_h_w_ref, beta_f32)  # e dt
-    ctx = _context(a_t, regions)  # (Bb, C) f32
+        # ---- recompute forward intermediates (all VMEM-resident)
+        x_t = jnp.concatenate([emb_t, o_prev, h_prev], axis=1)
+        z = _dot(x_t, lstm_w_ref[...]) + lstm_b_ref[0][None, :]
+        ci, cj, cf, co = _lstm_gates(z)
+        tc = jnp.tanh(c_t.astype(jnp.float32))
+        e, _ = _attention(att_img, h_t, att_h_w_ref, beta_f32)  # e dt
+        ctx = _context(a_t, regions)  # (Bb, C) f32
 
-    # ---- output head: logits = o_t @ Wy
-    d_y_w_o_ref[...] += _dot_tn(o_t.astype(jnp.float32), dlogits_t)
-    d_o_total = _dot_t(dlogits_t, y_w_o_ref[...].astype(jnp.float32)) + do_scr[...]
+        # ---- output head: logits = o_t @ Wy
+        d_y_w_o_ref[...] += _dot_tn(o_t.astype(jnp.float32), dlogits_t)
+        d_o_total = _dot_t(dlogits_t, y_w_o_ref[...].astype(jnp.float32)) + do_next
 
-    # o_t = tanh(h_t @ Wh + ctx @ Wc)
-    d_p = d_o_total * (1.0 - o_t.astype(jnp.float32) ** 2)  # (Bb, O) f32
-    d_o_w_h_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_p)
-    d_o_w_c_ref[...] += _dot_tn(ctx, d_p)
-    dh = _dot_t(d_p, o_w_h_ref[...].astype(jnp.float32))  # (Bb, U)
-    d_ctx = _dot_t(d_p, o_w_c_ref[...].astype(jnp.float32))  # (Bb, C)
+        # o_t = tanh(h_t @ Wh + ctx @ Wc)
+        d_p = d_o_total * (1.0 - o_t.astype(jnp.float32) ** 2)  # (Bb, O) f32
+        d_o_w_h_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_p)
+        d_o_w_c_ref[...] += _dot_tn(ctx, d_p)
+        dh = _dot_t(d_p, o_w_h_ref[...].astype(jnp.float32))  # (Bb, U)
+        d_ctx = _dot_t(d_p, o_w_c_ref[...].astype(jnp.float32))  # (Bb, C)
 
-    # ctx = a @ regions: lane-parallel forms of the matvec pair
-    d_a = jnp.sum(
-        d_ctx[:, None, :] * regions.astype(jnp.float32), axis=2
-    )  # (Bb, R)
-    d_regions_ref[...] += a_t[:, :, None] * d_ctx[:, None, :]  # (Bb, R, C)
+        # ctx = a @ regions: lane-parallel forms of the matvec pair,
+        # products in dt, f32 accumulation (MXU-matmul precision story)
+        d_ctx_dt = d_ctx.astype(dt)
+        d_a = jnp.sum(
+            d_ctx_dt[:, None, :] * regions, axis=2, dtype=jnp.float32
+        )  # (Bb, R)
+        d_regions_ref[...] += (
+            a_t[:, :, None].astype(dt) * d_ctx_dt[:, None, :]
+        ).astype(jnp.float32)
 
-    # a = softmax(s)
-    d_s = a_t * (d_a - jnp.sum(d_a * a_t, axis=-1, keepdims=True))  # (Bb, R)
+        # a = softmax(s)
+        d_s = a_t * (d_a - jnp.sum(d_a * a_t, axis=-1, keepdims=True))
 
-    # s = sum_E e * beta ; e = tanh(att_img + att_h)
-    e_f32 = e.astype(jnp.float32)
-    d_pre_e = (d_s[:, :, None] * beta_f32) * (1.0 - e_f32 * e_f32)  # (Bb,R,E)
-    d_beta_ref[...] += jnp.sum(e_f32 * d_s[:, :, None], axis=(0, 1))[None, :]
-    d_att_img_ref[...] += d_pre_e
-    d_ah = jnp.sum(d_pre_e, axis=1)  # (Bb, E)
+        # s = sum_E e * beta ; e = tanh(att_img + att_h)
+        one_m_e2 = (1.0 - e * e).astype(dt)  # dt products, f32 accumulate
+        d_pre_e = (d_s[:, :, None].astype(dt) * beta_f32.astype(dt)) * one_m_e2
+        d_beta_ref[...] += jnp.sum(
+            e * d_s[:, :, None].astype(dt), axis=(0, 1), dtype=jnp.float32
+        )[None, :]
+        d_att_img_ref[...] += d_pre_e.astype(jnp.float32)
+        d_ah = jnp.sum(d_pre_e, axis=1, dtype=jnp.float32)  # (Bb, E)
 
-    # att_h = h_t @ A
-    d_att_h_w_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_ah)
-    dh = dh + _dot_t(d_ah, att_h_w_ref[...].astype(jnp.float32))
-    dh = dh + dh_scr[...]  # total grad into h_t
+        # att_h = h_t @ A
+        d_att_h_w_ref[...] += _dot_tn(h_t.astype(jnp.float32), d_ah)
+        dh = dh + _dot_t(d_ah.astype(dt), att_h_w_ref[...])
+        dh = dh + dh_next  # total grad into h_t
 
-    # h_t = tanh(c_t) * co ; c_t = c_prev * cf + ci * cj
-    d_tc = dh * co
-    d_co = dh * tc
-    d_c_total = dc_scr[...] + d_tc * (1.0 - tc * tc)
-    d_cf = d_c_total * c_prev.astype(jnp.float32)
-    d_ci = d_c_total * cj
-    d_cj = d_c_total * ci
-    dc_prev = d_c_total * cf
+        # h_t = tanh(c_t) * co ; c_t = c_prev * cf + ci * cj
+        d_tc = dh * co
+        d_co = dh * tc
+        d_c_total = dc_next + d_tc * (1.0 - tc * tc)
+        d_cf = d_c_total * c_prev.astype(jnp.float32)
+        d_ci = d_c_total * cj
+        d_cj = d_c_total * ci
+        dc_prev = d_c_total * cf
 
-    # gate nonlinearities, gate order (i, j, f, o)
-    d_z = jnp.concatenate(
-        [
-            d_ci * ci * (1.0 - ci),
-            d_cj * (1.0 - cj * cj),
-            d_cf * cf * (1.0 - cf),
-            d_co * co * (1.0 - co),
-        ],
-        axis=1,
-    )  # (Bb, 4U) f32
+        # gate nonlinearities, order (i, j, f, o)
+        d_z = jnp.concatenate(
+            [
+                d_ci * ci * (1.0 - ci),
+                d_cj * (1.0 - cj * cj),
+                d_cf * cf * (1.0 - cf),
+                d_co * co * (1.0 - co),
+            ],
+            axis=1,
+        )  # (Bb, 4U) f32
 
-    # z = x @ W + b
-    d_lstm_w_ref[...] += _dot_tn(x_t.astype(jnp.float32), d_z)
-    d_lstm_b_ref[...] += jnp.sum(d_z, axis=0)[None, :]
-    d_x = _dot_t(d_z, lstm_w_ref[...].astype(jnp.float32))  # (Bb, emb+O+U)
+        # z = x @ W + b
+        d_lstm_w_ref[...] += _dot_tn(x_t.astype(jnp.float32), d_z)
+        d_lstm_b_ref[...] += jnp.sum(d_z, axis=0)[None, :]
+        d_x = _dot_t(d_z.astype(dt), lstm_w_ref[...])  # (Bb, emb+O+U) f32
 
-    d_embs_ref[0] = d_x[:, :emb_dim]
-    do_scr[...] = d_x[:, emb_dim : emb_dim + O]
-    dh_scr[...] = d_x[:, emb_dim + O :]
-    dc_scr[...] = dc_prev
+        d_embs_ref[k] = d_x[:, :emb_dim]
+        do_next = d_x[:, emb_dim : emb_dim + O]
+        dh_next = d_x[:, emb_dim + O :]
+        dc_next = dc_prev
+
+        if k == 0:
+            do_last, dh_last, dc_last = do_next, dh_next, dc_next
+
+    dh_scr[...] = dh_last
+    do_scr[...] = do_last
+    dc_scr[...] = dc_last
 
     @pl.when(is_last)
     def _emit_initial_state_grads():
-        d_c0_ref[...] = dc_prev
-        d_h0_ref[...] = d_x[:, emb_dim + O :]
-        d_o0_ref[...] = d_x[:, emb_dim : emb_dim + O]
+        d_c0_ref[...] = dc_last
+        d_h0_ref[...] = dh_last
+        d_o0_ref[...] = do_last
 
 
 # --------------------------------------------------------------- host wiring
@@ -354,7 +379,7 @@ def train_block_b(R: int, E: int, C: int, itemsize: int) -> int:
     """Largest batch block that fits the backward kernel's VMEM budget.
 
     Residents per block: att_img/regions (dt, double-buffered across
-    blocks) + their f32 grad accumulators + ~2.5 f32 (Bb,R,E)-sized
+    blocks) + their f32 grad accumulators + ~2.5 (Bb,R,E)-sized dt/f32
     temporaries (e recompute, d_pre_e, d_regions update) + ~25 MB of
     weights/weight-grads/streamed windows. Budget the (Bb,R,*)-
     proportional part at 72 MB of the 128 MB physical VMEM; 0 = even a
@@ -366,7 +391,7 @@ def train_block_b(R: int, E: int, C: int, itemsize: int) -> int:
         per_block = (
             2 * bb * R * (E + C) * itemsize  # inputs, double-buffered
             + bb * R * (E + C) * 4  # f32 grad accumulators
-            + int(2.5 * bb * R * max(E, C) * 4)  # f32 temporaries
+            + int(2.5 * bb * R * max(E, C) * 4)  # temporaries
         )
         if per_block <= budget:
             return bb
@@ -394,11 +419,11 @@ def teacher_forcing_megakernel(
     return logits
 
 
-def _pad_block(x, pad_b, axis=0):
-    if pad_b == 0:
+def _pad_block(x, pad, axis=0):
+    if pad == 0:
         return x
     pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, pad_b)
+    pads[axis] = (0, pad)
     return jnp.pad(x, pads)
 
 
@@ -407,34 +432,34 @@ def _const_spec(shape):
     return pl.BlockSpec(shape, lambda b, t: (0,) * nd, memory_space=pltpu.VMEM)
 
 
-def _block_spec(shape2d_tail, block_b):
+def _block_spec(shape_tail, block_b):
     # (Bb, ...) tensors indexed by block only
-    shape = (block_b,) + tuple(shape2d_tail)
+    shape = (block_b,) + tuple(shape_tail)
     nd = len(shape)
     return pl.BlockSpec(
         shape, lambda b, t: (b,) + (0,) * (nd - 1), memory_space=pltpu.VMEM
     )
 
 
-def _step_spec(block_b, d, reverse_T=None):
-    # (1, Bb, D) windows over a (T, Bp, D) tensor at t (or T-1-t)
-    if reverse_T is None:
+def _chunk_spec(K, block_b, d, n_chunks=None):
+    # (K, Bb, D) windows over a (Tp, Bp, D) tensor, chunk t (or reversed)
+    if n_chunks is None:
         return pl.BlockSpec(
-            (1, block_b, d), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
+            (K, block_b, d), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM
         )
-    Tm1 = reverse_T - 1
+    last = n_chunks - 1
     return pl.BlockSpec(
-        (1, block_b, d), lambda b, t: (Tm1 - t, b, 0), memory_space=pltpu.VMEM
+        (K, block_b, d), lambda b, t: (last - t, b, 0), memory_space=pltpu.VMEM
     )
 
 
-def _prev_step_spec(block_b, d, T):
-    # window at t_actual - 1 = T-2-t, clamped at 0 (the t_actual == 0 value
-    # is ignored in-kernel in favor of the initial state)
-    Tm2 = T - 2
+def _prev_chunk_spec(K, block_b, d, n_chunks):
+    # the chunk BEFORE the (reversed) current one, clamped at 0; the
+    # clamped value is ignored in-kernel in favor of the initial state
+    last = n_chunks - 1
     return pl.BlockSpec(
-        (1, block_b, d),
-        lambda b, t: (jnp.maximum(Tm2 - t, 0), b, 0),
+        (K, block_b, d),
+        lambda b, t: (jnp.maximum(last - t - 1, 0), b, 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -450,42 +475,48 @@ def _fwd_call(
     emb = embs.shape[-1]
     V = y_w_o.shape[-1]
     dt = regions.dtype
+    K = _CHUNK
 
     pad_b = (-B) % block_b
+    pad_t = (-T) % K
+    Tp = T + pad_t
     att_img_p = _pad_block(att_img, pad_b)
     regions_p = _pad_block(regions, pad_b)
     c0_p, h0_p, o0_p = (_pad_block(x, pad_b) for x in (c0, h0, o0))
-    embs_t = _pad_block(jnp.swapaxes(embs, 0, 1), pad_b, axis=1)  # (T, Bp, emb)
+    embs_t = _pad_block(
+        _pad_block(jnp.swapaxes(embs, 0, 1), pad_b, axis=1), pad_t, axis=0
+    )  # (Tp, Bp, emb)
     Bp = B + pad_b
     n_blocks = Bp // block_b
+    n_chunks = Tp // K
 
     weights = (lstm_w, lstm_b, att_h_w, beta, o_w_h, o_w_c, y_w_o)
 
     outs = pl.pallas_call(
-        _fwd_kernel,
-        grid=(n_blocks, T),
+        functools.partial(_fwd_kernel, K=K),
+        grid=(n_blocks, n_chunks),
         in_specs=[
             _block_spec((R, E), block_b),
             _block_spec((R, C), block_b),
             _block_spec((U,), block_b),
             _block_spec((U,), block_b),
             _block_spec((O,), block_b),
-            _step_spec(block_b, emb),
+            _chunk_spec(K, block_b, emb),
         ]
         + [_const_spec(w.shape) for w in weights],
         out_specs=(
-            _step_spec(block_b, V),
-            _step_spec(block_b, U),
-            _step_spec(block_b, U),
-            _step_spec(block_b, O),
-            _step_spec(block_b, R),
+            _chunk_spec(K, block_b, V),
+            _chunk_spec(K, block_b, U),
+            _chunk_spec(K, block_b, U),
+            _chunk_spec(K, block_b, O),
+            _chunk_spec(K, block_b, R),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, Bp, V), jnp.float32),
-            jax.ShapeDtypeStruct((T, Bp, U), dt),
-            jax.ShapeDtypeStruct((T, Bp, U), dt),
-            jax.ShapeDtypeStruct((T, Bp, O), dt),
-            jax.ShapeDtypeStruct((T, Bp, R), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, V), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, U), dt),
+            jax.ShapeDtypeStruct((Tp, Bp, U), dt),
+            jax.ShapeDtypeStruct((Tp, Bp, O), dt),
+            jax.ShapeDtypeStruct((Tp, Bp, R), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_b, U), dt),
@@ -500,7 +531,7 @@ def _fwd_call(
     )(att_img_p, regions_p, c0_p, h0_p, o0_p, embs_t, *weights)
 
     logits_t, c_all, h_all, o_all, a_all = outs
-    logits = jnp.swapaxes(logits_t, 0, 1)[:B]  # (B, T, V) f32
+    logits = jnp.swapaxes(logits_t[:T], 0, 1)[:B]  # (B, T, V) f32
     residuals = (c_all, h_all, o_all, a_all, embs_t, att_img_p, regions_p,
                  c0_p, h0_p, o0_p, weights, B, pad_b)
     return logits, residuals
@@ -528,15 +559,23 @@ def _mega_bwd(T, block_b, interpret, residuals, d_logits):
     emb = embs_t.shape[-1]
     V = y_w_o.shape[-1]
     dt = regions_p.dtype
+    K = _CHUNK
+    Tp = embs_t.shape[0]
+    pad_t = Tp - T
     n_blocks = Bp // block_b
+    n_chunks = Tp // K
 
+    # zero-padded dlogits on the padded steps make every padded-step grad
+    # contribution exactly zero, so the reverse walk through them is a
+    # no-op on the carries
     dlogits_t = _pad_block(
-        jnp.swapaxes(d_logits.astype(jnp.float32), 0, 1), pad_b, axis=1
-    )  # (T, Bp, V)
+        _pad_block(jnp.swapaxes(d_logits.astype(jnp.float32), 0, 1), pad_b, axis=1),
+        pad_t, axis=0,
+    )  # (Tp, Bp, V)
 
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, T=T, emb_dim=emb),
-        grid=(n_blocks, T),
+        functools.partial(_bwd_kernel, K=K, emb_dim=emb),
+        grid=(n_blocks, n_chunks),
         in_specs=[
             _block_spec((R, E), block_b),
             _block_spec((R, C), block_b),
@@ -546,15 +585,15 @@ def _mega_bwd(T, block_b, interpret, residuals, d_logits):
         ]
         + [_const_spec(w.shape) for w in weights]
         + [
-            _step_spec(block_b, emb, reverse_T=T),
-            _step_spec(block_b, U, reverse_T=T),
-            _step_spec(block_b, U, reverse_T=T),
-            _step_spec(block_b, O, reverse_T=T),
-            _step_spec(block_b, R, reverse_T=T),
-            _prev_step_spec(block_b, U, T),
-            _prev_step_spec(block_b, U, T),
-            _prev_step_spec(block_b, O, T),
-            _step_spec(block_b, V, reverse_T=T),
+            _chunk_spec(K, block_b, emb, n_chunks),
+            _chunk_spec(K, block_b, U, n_chunks),
+            _chunk_spec(K, block_b, U, n_chunks),
+            _chunk_spec(K, block_b, O, n_chunks),
+            _chunk_spec(K, block_b, R, n_chunks),
+            _prev_chunk_spec(K, block_b, U, n_chunks),
+            _prev_chunk_spec(K, block_b, U, n_chunks),
+            _prev_chunk_spec(K, block_b, O, n_chunks),
+            _chunk_spec(K, block_b, V, n_chunks),
         ],
         out_specs=(
             _block_spec((R, E), block_b),
@@ -562,7 +601,7 @@ def _mega_bwd(T, block_b, interpret, residuals, d_logits):
             _block_spec((U,), block_b),
             _block_spec((U,), block_b),
             _block_spec((O,), block_b),
-            _step_spec(block_b, emb, reverse_T=T),
+            _chunk_spec(K, block_b, emb, n_chunks),
             _const_spec(lstm_w.shape),
             _const_spec(lstm_b.shape),
             _const_spec(att_h_w.shape),
@@ -577,7 +616,7 @@ def _mega_bwd(T, block_b, interpret, residuals, d_logits):
             jax.ShapeDtypeStruct((Bp, U), jnp.float32),
             jax.ShapeDtypeStruct((Bp, U), jnp.float32),
             jax.ShapeDtypeStruct((Bp, O), jnp.float32),
-            jax.ShapeDtypeStruct((T, Bp, emb), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, Bp, emb), jnp.float32),
             jax.ShapeDtypeStruct(lstm_w.shape, jnp.float32),
             jax.ShapeDtypeStruct(lstm_b.shape, jnp.float32),
             jax.ShapeDtypeStruct(att_h_w.shape, jnp.float32),
@@ -618,7 +657,7 @@ def _mega_bwd(T, block_b, interpret, residuals, d_logits):
         d_c0[:B].astype(dt),
         d_h0[:B].astype(dt),
         d_o0[:B].astype(dt),
-        jnp.swapaxes(d_embs_t, 0, 1)[:B].astype(dt),
+        jnp.swapaxes(d_embs_t[:T], 0, 1)[:B].astype(dt),
     )
 
 
@@ -657,7 +696,12 @@ def teacher_forcing_fused(
     embs = shifted_embeddings(dec_params, formula).astype(dt)
     B, R, C = regions.shape
     E = att_img.shape[-1]
+    U = s0.h.shape[-1]
     T = formula.shape[1]
+    if not interpret and (E % 128 or C % 128 or U % 128):
+        # sub-lane-width feature dims mis-lower on Mosaic (tpu.reshape of
+        # a (Bb, E<128) broadcast); tiny test configs use the XLA scan
+        return None
     if block_b is None:
         block_b = train_block_b(R, E, C, regions.dtype.itemsize)
         if block_b == 0:

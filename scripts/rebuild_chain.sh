@@ -1,0 +1,22 @@
+#!/bin/bash
+# Rebuild the synthetic datasets + the full training ladder
+# (EZ -> curriculum -> 50k, plus handwritten transfer) end to end.
+# Round-2 rerun: results/ and data/ are not kept between rounds.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== build datasets ==="
+[ -d data/synthEZ ]   || python scripts/build_synthetic.py --out data/synthEZ --n-train 10000 --n-val 500 --n-test 500 --min-len 3 --max-len 10
+[ -d data/synth10k ]  || python scripts/build_synthetic.py --out data/synth10k --n-train 10000 --n-val 500 --n-test 500
+[ -d data/synth50k ]  || python scripts/build_synthetic.py --out data/synth50k --n-train 50000 --n-val 1000 --n-test 1000 --min-len 3 --max-len 50
+[ -d data/hw400 ]     || python scripts/build_synthetic.py --out data/hw400 --n-train 400 --n-val 60 --n-test 60 --min-len 3 --max-len 20 --handwritten
+
+echo "=== train synthEZ ==="
+[ -d results/synthEZ/model_weights ] || python scripts/train_synthEZ.py
+echo "=== train curriculum (synth10k_cur) ==="
+[ -d results/synth10k_cur/model_weights ] || python scripts/train_curriculum.py
+echo "=== train synth50k ==="
+[ -d results/synth50k/model_weights ] || python scripts/train_synth50k.py
+echo "=== beam eval + handwritten transfer ==="
+python scripts/eval_beam_and_handwritten.py
+echo "=== chain done ==="
