@@ -66,13 +66,24 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------ train
-    def train(self, train_set, val_set, lr_schedule) -> Optional[float]:
+    def train(self, train_set, val_set, lr_schedule, init_params=None) -> Optional[float]:
+        """``init_params``: warm-start weights transferred from ANOTHER run
+        (curriculum / fine-tune scripts). Used only when this run has no
+        checkpoint of its own — a restart of a warm-started run resumes
+        its own checkpoint as usual. Unlike the old copy-the-ckpt-dir
+        pattern, the donor's host state (best_score, epoch counter,
+        LR-schedule counters) never leaks into the new run: a transferred
+        best_score from an easier task can otherwise sit unbeatable and
+        keep-best never saves (observed: the copied synthEZ perplexity
+        1.000005 blocked every curriculum save)."""
         config = self.config
         model = self.model
         rng = jax.random.PRNGKey(int(getattr(config, "seed", 42)))
         rng, init_rng = jax.random.split(rng)
 
         params = model.init_params(init_rng)
+        if init_params is not None:
+            params = jax.tree.map(lambda a, b: b.astype(a.dtype), params, init_params)
         opt_state = model.init_optimizer(
             params,
             getattr(config, "lr_method", "adam"),

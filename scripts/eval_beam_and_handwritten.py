@@ -50,13 +50,14 @@ cfg_hw = make_cfg(hw, "greedy", 21)
 vocab_hw = Vocab(cfg_hw)
 model_hw = Img2SeqModel(cfg_hw, vocab_hw, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 out = "results/hw400/"
+init_hw = None
 if not os.path.exists(out + "model_weights"):
-    os.makedirs(out, exist_ok=True)
-    shutil.copytree("results/synth10k_cur/model_weights", out + "model_weights")
+    # params-only warm start (copying the ckpt dir leaks donor host state)
+    donor = model_hw.init_params(jax.random.PRNGKey(0))
+    init_hw = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor)
 trainer_hw = Trainer(model_hw, cfg_hw, out)
-# resume epoch from the copied ckpt is large; n_epochs extended below
-cfg_hw.n_epochs = 300
+cfg_hw.n_epochs = 350  # ~2450 steps at 7 batches/epoch, matches the 1800-2400 decay window
 lr = LRSchedule(lr_init=3e-4, lr_min=3e-5, start_decay=1800, end_decay=2400)
-best = trainer_hw.train(ds(hw, "train", vocab_hw, 21), ds(hw, "val", vocab_hw, 21), lr)
+best = trainer_hw.train(ds(hw, "train", vocab_hw, 21), ds(hw, "val", vocab_hw, 21), lr, init_params=init_hw)
 scores = trainer_hw.evaluate(trainer_hw._final_params, ds(hw, "test", vocab_hw, 21), out + "formulas_test/")
 print("HW TEST:", json.dumps(scores), flush=True)

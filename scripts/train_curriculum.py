@@ -30,12 +30,13 @@ cfg = Config({
 vocab = Vocab(cfg)
 model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 
-# seed results dir with the short-formula checkpoint (params + opt state)
-import shutil
+# warm-start from the short-formula run's weights (params only: copying
+# the ckpt dir would leak the donor's best_score/epoch and block keep-best)
 out = "results/synth10k_cur/"
+init_params = None
 if not os.path.exists(out + "model_weights"):
-    os.makedirs(out, exist_ok=True)
-    shutil.copytree("results/synthEZ/model_weights", out + "model_weights")
+    donor = model.init_params(jax.random.PRNGKey(0))
+    init_params = CheckpointManager("results/synthEZ/model_weights").restore_params(donor)
 
 def ds(split):
     return DataGenerator(base + f"{split}.formulas.norm.txt", base + f"images_{split}/",
@@ -44,7 +45,7 @@ def ds(split):
 trainer = Trainer(model, cfg, out)
 lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=9000, end_decay=12000)
 t0 = time.time()
-best = trainer.train(ds("train"), ds("val"), lr)
+best = trainer.train(ds("train"), ds("val"), lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
 scores = trainer.evaluate(trainer._final_params, ds("test"), out + "formulas_test/")
 print("TEST:", json.dumps(scores), flush=True)

@@ -23,16 +23,19 @@ cfg = Config({
     "max_length_formula": 51,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
     "path_vocab": base + "vocab.txt",
-    "batch_size": 256, "n_epochs": 200, "dropout": 1.0, "clip": 5.0,
+    "batch_size": 256, "n_epochs": 150, "dropout": 1.0, "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0,
 })
 vocab = Vocab(cfg)
 model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 
 out = "results/synth50k/"
+init_params = None
 if not os.path.exists(out + "model_weights"):
-    os.makedirs(out, exist_ok=True)
-    shutil.copytree("results/synth10k_cur/model_weights", out + "model_weights")
+    # params-only warm start (copying the ckpt dir leaks donor host state)
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+    donor = model.init_params(jax.random.PRNGKey(0))
+    init_params = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor)
 
 def pipe(split, shuffle):
     return build_cached_pipeline(
@@ -50,7 +53,7 @@ print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, out)
 lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=10**9, end_decay=2 * 10**9)
 t0 = time.time()
-best = trainer.train(train_pipe, val_pipe, lr)
+best = trainer.train(train_pipe, val_pipe, lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
 scores = trainer.evaluate(trainer._final_params, pipe("test", False), out + "formulas_test/")
 print("TEST:", json.dumps(scores), flush=True)

@@ -58,3 +58,67 @@ def test_exact_resume(small_dataset, tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(p_straight),
                     jax.tree_util.tree_leaves(p_resumed)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
+
+
+def test_warm_start_init_params_and_fresh_host_state(small_dataset, tmp_path):
+    """Warm starts transfer weights WITHOUT the donor's host state.
+
+    Regression for the round-2 bug where fine-tune scripts copied the
+    donor's checkpoint dir: the inherited best_score (from the easier
+    donor task) was unbeatable, so keep-best never saved and the "trained"
+    run silently kept the donor weights. The supported pattern is now
+    Trainer.train(init_params=donor_params) into a fresh dir: the new run
+    must (a) start from the donor weights, (b) start at epoch 0 with
+    best_score None so the first validation always saves.
+    """
+    import os
+
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+
+    vocab = Vocab(Config({"path_vocab": small_dataset["path_vocab"],
+                          "unk": "_UNK", "pad": "_PAD", "end": "_END"}))
+
+    def pipe(tag):
+        return build_cached_pipeline(
+            small_dataset["path_formulas_train"],
+            small_dataset["dir_images_train"],
+            small_dataset["path_matching_train"],
+            vocab.form_prepro,
+            str(tmp_path / f"cache_w{tag}"),
+            batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
+            max_len=20, buckets=small_dataset["buckets"],
+            max_formula_len=21, shuffle_seed=7,
+        )
+
+    config = Config(dict(TINY, batch_size=8, n_epochs=1, dropout=1.0,
+                         clip=-1, lr_method="adam",
+                         buckets=small_dataset["buckets"], seed=3))
+    model = Img2SeqModel(config, vocab)
+
+    # donor run: 1 epoch, saves a checkpoint with a (good) best_score
+    donor = Trainer(model, config, str(tmp_path / "donor/"))
+    donor.train(pipe("d"), pipe("dv"), LRSchedule(lr_init=1e-3))
+    donor_params = donor._final_params
+
+    # warm start into a fresh dir; n_epochs=0 -> train loop never runs, so
+    # _final_params IS the initialized tree: must equal the donor weights
+    cfg0 = Config(dict(TINY, batch_size=8, n_epochs=0, dropout=1.0,
+                       clip=-1, lr_method="adam",
+                       buckets=small_dataset["buckets"], seed=99))
+    t0 = Trainer(model, cfg0, str(tmp_path / "ft0/"))
+    t0.train(pipe("f0"), pipe("f0v"), LRSchedule(lr_init=1e-3),
+             init_params=donor_params)
+    for a, b in zip(jax.tree_util.tree_leaves(t0._final_params),
+                    jax.tree_util.tree_leaves(donor_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # real warm-started run: must SAVE (fresh best_score) even though the
+    # donor's score would have been better
+    t1 = Trainer(model, config, str(tmp_path / "ft1/"))
+    t1.train(pipe("f1"), pipe("f1v"), LRSchedule(lr_init=1e-3),
+             init_params=donor_params)
+    steps = CheckpointManager(
+        os.path.join(str(tmp_path / "ft1/"), "model_weights")
+    )
+    restored = steps.restore_params(model.init_params(jax.random.PRNGKey(0)))
+    assert restored is not None, "warm-started run never checkpointed"
