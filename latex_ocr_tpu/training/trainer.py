@@ -84,6 +84,7 @@ class Trainer:
         params = model.init_params(init_rng)
         if init_params is not None:
             params = jax.tree.map(lambda a, b: b.astype(a.dtype), params, init_params)
+            self.logger.info("Warm start: weights transferred, fresh schedule")
         opt_state = model.init_optimizer(
             params,
             getattr(config, "lr_method", "adam"),
