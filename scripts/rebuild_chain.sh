@@ -19,4 +19,8 @@ echo "=== train synth50k ==="
 [ -d results/synth50k/model_weights ] || python scripts/train_synth50k.py
 echo "=== beam eval + handwritten transfer ==="
 python scripts/eval_beam_and_handwritten.py
+echo "=== beam x alpha sweep (BASELINE config #3) ==="
+python scripts/sweep_beam_alpha.py --results results/synth50k --data data/synth50k --max-len 51
+echo "=== serving QPS benches (warm-started) ==="
+python scripts/bench_serving.py --results results/synth50k --data data/synth50k
 echo "=== chain done ==="
