@@ -33,21 +33,38 @@ class _Request:
 
 
 class LatexOCRServer:
-    """Dynamic-batching inference server over a trained Img2SeqModel."""
+    """Dynamic-batching inference server over trained Img2SeqModels.
+
+    Single-model: ``LatexOCRServer(model, params)``. Multi-model routing:
+    pass ``models={"printed": (m1, p1), "handwritten": (m2, p2)}`` and
+    route per request via ``submit(img, model="handwritten")`` — each
+    (model, bucket) pair gets its own queue and compiled decode program,
+    so one server fronts a fleet of specialized checkpoints (e.g. the
+    printed flagship plus the handwritten fine-tune) on one chip.
+    """
 
     def __init__(
         self,
-        model,
-        params,
+        model=None,
+        params=None,
         buckets: Optional[Sequence[Sequence[int]]] = None,
         max_batch: int = 16,
         max_wait_ms: float = 10.0,
         max_pending: Optional[int] = None,
         request_timeout_ms: Optional[float] = None,
         warmup: bool = False,
+        models: Optional[Dict[str, Tuple[object, object]]] = None,
     ):
-        self.model = model
-        self.params = params
+        if models is None:
+            if model is None:
+                raise ValueError("pass either (model, params) or models={...}")
+            models = {"default": (model, params)}
+        elif model is not None:
+            raise ValueError("pass either (model, params) or models=, not both")
+        self.models: Dict[str, Tuple[object, object]] = dict(models)
+        self.default_model = next(iter(self.models))
+        # backward-compatible single-model attributes
+        self.model, self.params = self.models[self.default_model]
         self.stored_buckets = stored_bucket_table(buckets)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
@@ -57,7 +74,8 @@ class LatexOCRServer:
         self.request_timeout_s = (
             None if request_timeout_ms is None else request_timeout_ms / 1000.0
         )
-        self._queues: Dict[Tuple[int, int], queue.Queue] = {}
+        # one queue per (model name, stored bucket shape)
+        self._queues: Dict[Tuple[str, Tuple[int, int]], queue.Queue] = {}
         self._pending = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
@@ -69,27 +87,35 @@ class LatexOCRServer:
 
     # ------------------------------------------------------------------- API
     def warmup(self) -> int:
-        """Precompile the (bucket, max_batch) decode program for every
-        stored bucket so no live request pays a first-compile (the p95 at
-        fixed QPS otherwise carries multi-hundred-ms compile pollution).
-        Returns the number of programs compiled."""
+        """Precompile the (model, bucket, max_batch) decode program for
+        every stored bucket so no live request pays a first-compile (the
+        p95 at fixed QPS otherwise carries multi-hundred-ms compile
+        pollution). Returns the number of programs compiled."""
         import jax.numpy as jnp
 
         shapes = self.stored_buckets or []
-        for H, W in shapes:
-            dummy = jnp.full((self.max_batch, H, W, 1), 255, jnp.uint8)
-            np.asarray(self.model.decode_step(self.params, dummy))  # sync
-        return len(shapes)
+        n = 0
+        for model, params in self.models.values():
+            for H, W in shapes:
+                dummy = jnp.full((self.max_batch, H, W, 1), 255, jnp.uint8)
+                np.asarray(model.decode_step(params, dummy))  # sync
+                n += 1
+        return n
 
-    def submit(self, image: np.ndarray) -> Future:
+    def submit(self, image: np.ndarray, model: Optional[str] = None) -> Future:
         """Queue a raw (H, W[, 3]) uint8 image; resolves to a LaTeX string.
 
-        Raises RuntimeError after close(); returns an already-failed future
-        when the server is over ``max_pending`` (backpressure) so callers
-        can shed load without blocking.
+        ``model`` selects which registered model serves the request
+        (defaults to the first one). Raises RuntimeError after close();
+        returns an already-failed future when the server is over
+        ``max_pending`` (backpressure) so callers can shed load without
+        blocking.
         """
         if self._stop.is_set():
             raise RuntimeError("server closed")
+        name = self.default_model if model is None else model
+        if name not in self.models:
+            raise KeyError(f"unknown model {name!r}; have {sorted(self.models)}")
         img = greyscale(image)
         shape = snap_image_shape(img.shape[:2], self.stored_buckets)
         req = _Request(img)
@@ -99,7 +125,7 @@ class LatexOCRServer:
                     RuntimeError(f"server overloaded ({self._pending} pending)")
                 )
                 return req.future
-            q = self._queues.setdefault(shape, queue.Queue())
+            q = self._queues.setdefault((name, shape), queue.Queue())
             self._pending += 1
         q.put(req)
         return req.future
@@ -128,7 +154,7 @@ class LatexOCRServer:
             with self._lock:
                 shapes = list(self._queues.items())
             now = time.perf_counter()
-            for shape, q in shapes:
+            for key, q in shapes:
                 n = q.qsize()
                 if n == 0:
                     continue
@@ -158,22 +184,23 @@ class LatexOCRServer:
                                     TimeoutError("request timed out in queue")
                                 )
                     if reqs:
-                        self._decode_batch(shape, reqs, jnp)
+                        self._decode_batch(key, reqs, jnp)
                         flushed = True
             if not flushed:
                 time.sleep(0.001)
 
-    def _decode_batch(self, shape, reqs: List[_Request], jnp) -> None:
-        H, W = shape
+    def _decode_batch(self, key, reqs: List[_Request], jnp) -> None:
+        name, (H, W) = key
+        model, params = self.models[name]
         batch = np.full((self.max_batch, H, W, 1), 255, np.uint8)
         for i, r in enumerate(reqs):
             h, w = r.image.shape[:2]
             batch[i, :h, :w] = r.image
         try:
-            ids = np.asarray(self.model.decode_step(self.params, jnp.asarray(batch)))
+            ids = np.asarray(model.decode_step(params, jnp.asarray(batch)))
             t_done = time.perf_counter()
             for i, r in enumerate(reqs):
-                r.future.set_result(self.model.ids_to_latex(ids[i, 0]))
+                r.future.set_result(model.ids_to_latex(ids[i, 0]))
                 self.stats.append((r.t_submit, t_done - r.t_submit))
         except Exception as e:  # pragma: no cover - propagate to callers
             for r in reqs:
@@ -200,15 +227,20 @@ def run_qps_benchmark(
     qps: float,
     duration_s: float,
 ) -> Dict[str, float]:
-    """Submit a request mix at fixed QPS; returns latency/throughput stats."""
+    """Submit a request mix at fixed QPS; returns latency/throughput stats.
+
+    Each item of ``images`` is either a raw image array or an
+    ``(image, model_name)`` pair for multi-model routing.
+    """
     rng = np.random.default_rng(0)
     interval = 1.0 / qps
     futures = []
     t_end = time.perf_counter() + duration_s
     next_t = time.perf_counter()
     while time.perf_counter() < t_end:
-        img = images[int(rng.integers(0, len(images)))]
-        futures.append(server.submit(img))
+        item = images[int(rng.integers(0, len(images)))]
+        img, name = item if isinstance(item, tuple) else (item, None)
+        futures.append(server.submit(img, model=name))
         next_t += interval
         sleep = next_t - time.perf_counter()
         if sleep > 0:

@@ -148,6 +148,49 @@ def test_serving_hardening():
         assert "closed" in str(e)
 
 
+def test_serving_multi_model_routing():
+    """Two registered models behind one server: per-request routing picks
+    the right params, warmup compiles programs for both, unknown names
+    are rejected."""
+    from latex_ocr_tpu.serving import LatexOCRServer, run_qps_benchmark
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    p_a = model.init_params(jax.random.PRNGKey(0))
+    p_b = model.init_params(jax.random.PRNGKey(1))
+    server = LatexOCRServer(
+        models={"printed": (model, p_a), "handwritten": (model, p_b)},
+        buckets=[[96, 96]], max_batch=4, max_wait_ms=5,
+    )
+    try:
+        assert server.warmup() == 2  # one program per (model, bucket)
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 255, (40, 44, 1)).astype(np.uint8)
+        r_default = server.submit(img).result(timeout=120)  # -> "printed"
+        r_printed = server.submit(img, model="printed").result(timeout=120)
+        r_hw = server.submit(img, model="handwritten").result(timeout=120)
+        assert r_default == r_printed
+        assert isinstance(r_hw, str)  # different params, still serves
+        with pytest.raises(KeyError):
+            server.submit(img, model="nope")
+        # the qps harness accepts (image, model) pairs for mixed-fleet runs
+        stats = run_qps_benchmark(
+            server, [(img, "printed"), (img, "handwritten")], qps=40, duration_s=0.3
+        )
+        assert stats["count"] >= 1
+    finally:
+        server.close()
+
+
 def test_feature_map_dump(tmp_path):
     import os
 
