@@ -1,11 +1,13 @@
-"""Run observability: JSONL scalar metrics + optional XLA profiler traces.
+"""Run observability: JSONL scalar metrics + TensorBoard + XLA traces.
 
 Capability match for the reference's TensorBoard summaries
 (reference model/base.py:85-93, img2seq.py:77-83: loss/lr/dropout/ce
-scalars flushed every 10 steps) without a TF dependency: scalars stream to
-``metrics.jsonl`` in the run dir (one JSON object per line, trivially
-plottable), and `jax.profiler` traces can be captured for a step window
-and viewed with TensorBoard / Perfetto.
+scalars flushed every 10 steps): scalars stream to ``metrics.jsonl`` in
+the run dir (one JSON object per line, trivially plottable) and — when a
+TensorBoard backend is importable — are mirrored as real event files
+under ``<run>/tb/`` so ``tensorboard --logdir`` works exactly as the
+reference's README describes. `jax.profiler` traces can be captured for
+a step window and viewed with TensorBoard / Perfetto.
 """
 
 from __future__ import annotations
@@ -17,20 +19,35 @@ from typing import Dict, Optional
 
 
 class MetricsWriter:
-    def __init__(self, dir_output: str, filename: str = "metrics.jsonl"):
+    def __init__(
+        self, dir_output: str, filename: str = "metrics.jsonl", tensorboard: bool = True
+    ):
         os.makedirs(dir_output, exist_ok=True)
         self.path = os.path.join(dir_output, filename)
         self._f = open(self.path, "a", buffering=1)
         self._t0 = time.time()
+        self._tb = None
+        if tensorboard:
+            try:  # torch ships a TF-free event writer in this image
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(dir_output, "tb"))
+            except Exception:  # no backend available -> JSONL only
+                self._tb = None
 
     def write(self, step: int, scalars: Dict[str, float], **tags) -> None:
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         rec.update({k: float(v) for k, v in scalars.items()})
         rec.update(tags)
         self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), int(step))
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class StepProfiler:

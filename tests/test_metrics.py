@@ -72,3 +72,30 @@ def test_score_dirs_missing_hyp(tmp_path):
     scores = score_dirs(str(ref_dir) + "/", str(hyp_dir) + "/", prepro)
     assert scores["EM"] == 0.5  # one exact, one full miss
     assert 0 < scores["Lev"] < 1
+
+
+def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
+    """Scalars land in metrics.jsonl and, when a TB backend is importable,
+    as real event files under <run>/tb/ (reference parity: base.py:85-93)."""
+    import json
+
+    from latex_ocr_tpu.utils.metrics import MetricsWriter
+
+    w = MetricsWriter(str(tmp_path))
+    w.write(0, {"loss": 1.5}, epoch=0)
+    w.write(10, {"loss": 0.5, "lr": 1e-3}, epoch=0)
+    w.close()
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [l["step"] for l in lines] == [0, 10]
+    assert lines[1]["lr"] == 1e-3
+
+    try:
+        from torch.utils.tensorboard import SummaryWriter  # noqa: F401
+        has_tb = True
+    except Exception:
+        has_tb = False
+    if has_tb:
+        tb_dir = tmp_path / "tb"
+        events = list(tb_dir.glob("events.out.tfevents.*"))
+        assert events, "TB backend available but no event file written"
