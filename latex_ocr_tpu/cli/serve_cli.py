@@ -20,12 +20,16 @@ from .predict_cli import load_model
 
 @click.command()
 @click.option("--results", default="results/small/")
+@click.option("--model", "extra_models", multiple=True,
+              help="Extra routed models as name=results_dir (repeatable); "
+                   "requests keep going to the primary --results model, but "
+                   "the server exposes every name for API callers")
 @click.option("--images", "image_dir", required=True, help="Dir with .png requests")
 @click.option("--qps", default=20.0)
 @click.option("--duration", default=10.0, help="Benchmark duration (s)")
 @click.option("--max-batch", default=16)
 @click.option("--max-wait-ms", default=10.0)
-def main(results: str, image_dir: str, qps: float, duration: float,
+def main(results: str, extra_models, image_dir: str, qps: float, duration: float,
          max_batch: int, max_wait_ms: float) -> None:
     from ..utils.jax_setup import setup_jax
 
@@ -33,6 +37,12 @@ def main(results: str, image_dir: str, qps: float, duration: float,
     from ..serving import LatexOCRServer, run_qps_benchmark
 
     model, params = load_model(results)
+    models = {"default": (model, params)}
+    for spec in extra_models:
+        if "=" not in spec:
+            raise click.ClickException(f"--model expects name=results_dir, got {spec!r}")
+        name, rdir = spec.split("=", 1)
+        models[name] = load_model(rdir)
     data_cfg_path = os.path.join(results, "data.json")
     buckets = None
     if os.path.exists(data_cfg_path):
@@ -47,7 +57,7 @@ def main(results: str, image_dir: str, qps: float, duration: float,
         raise click.ClickException(f"no .png files under {image_dir}")
 
     server = LatexOCRServer(
-        model, params, buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms
+        models=models, buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms
     )
     try:
         # warm the compile cache with one request per distinct bucket
