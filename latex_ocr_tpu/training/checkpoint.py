@@ -80,7 +80,19 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        restored = self._mgr.restore(step)
+        import logging
+
+        # restoring without a structural target is exactly what we want
+        # here (params-only consumers don't know the opt_state topology);
+        # absl's UNSAFE/handler-registry warnings for this call are noise
+        # (restore verified: every leaf comes back trained), so mute them
+        absl_logger = logging.getLogger("absl")
+        prev_level = absl_logger.level
+        absl_logger.setLevel(logging.ERROR)
+        try:
+            restored = self._mgr.restore(step)
+        finally:
+            absl_logger.setLevel(prev_level)
         params = restored["params"]
         if params_like is not None:
             params = jax.tree.map(
