@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # config update must happen before the backend initializes.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs (and repeated
+# parametrizations within one run) reload compiled programs instead of
+# recompiling — a large win on the 1-CPU build host.
+from latex_ocr_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 import pytest  # noqa: E402
 
 
