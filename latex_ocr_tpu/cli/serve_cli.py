@@ -22,8 +22,8 @@ from .predict_cli import load_model
 @click.option("--results", default="results/small/")
 @click.option("--model", "extra_models", multiple=True,
               help="Extra routed models as name=results_dir (repeatable); "
-                   "requests keep going to the primary --results model, but "
-                   "the server exposes every name for API callers")
+                   "benchmark requests are spread round-robin across the "
+                   "primary --results model ('default') and every extra name")
 @click.option("--images", "image_dir", required=True, help="Dir with .png requests")
 @click.option("--qps", default=20.0)
 @click.option("--duration", default=10.0, help="Benchmark duration (s)")
@@ -42,28 +42,38 @@ def main(results: str, extra_models, image_dir: str, qps: float, duration: float
         if "=" not in spec:
             raise click.ClickException(f"--model expects name=results_dir, got {spec!r}")
         name, rdir = spec.split("=", 1)
+        if name in models:
+            raise click.ClickException(
+                f"duplicate model name {name!r} ('default' is the --results model)"
+            )
         models[name] = load_model(rdir)
     data_cfg_path = os.path.join(results, "data.json")
     buckets = None
     if os.path.exists(data_cfg_path):
         buckets = Config(data_cfg_path).get("buckets")
 
-    imgs = [
+    raw = [
         read_img(os.path.join(image_dir, f))
         for f in sorted(os.listdir(image_dir))
         if f.endswith(".png")
     ][:64]
-    if not imgs:
+    if not raw:
         raise click.ClickException(f"no .png files under {image_dir}")
+    # spread the request mix round-robin across every registered model
+    names = list(models)
+    imgs = [(img, names[i % len(names)]) for i, img in enumerate(raw)]
 
     server = LatexOCRServer(
         models=models, buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms
     )
     try:
-        # warm the compile cache with one request per distinct bucket
-        for img in imgs[:4]:
-            server.submit(img).result(timeout=600)
-        server.stats.clear()
+        # precompile every (model, bucket, max_batch) decode program so the
+        # benchmark tail carries no first-compile pollution; without a
+        # bucket table, fall back to warming through live requests
+        if server.warmup() == 0:
+            for img, name in imgs[: 4 * len(names)]:
+                server.submit(img, model=name).result(timeout=600)
+            server.stats.clear()
         stats = run_qps_benchmark(server, imgs, qps=qps, duration_s=duration)
     finally:
         server.close()

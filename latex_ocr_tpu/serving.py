@@ -61,6 +61,8 @@ class LatexOCRServer:
             models = {"default": (model, params)}
         elif model is not None:
             raise ValueError("pass either (model, params) or models=, not both")
+        elif not models:
+            raise ValueError("models= must contain at least one entry")
         self.models: Dict[str, Tuple[object, object]] = dict(models)
         self.default_model = next(iter(self.models))
         # backward-compatible single-model attributes
@@ -90,7 +92,9 @@ class LatexOCRServer:
         """Precompile the (model, bucket, max_batch) decode program for
         every stored bucket so no live request pays a first-compile (the
         p95 at fixed QPS otherwise carries multi-hundred-ms compile
-        pollution). Returns the number of programs compiled."""
+        pollution). Returns the number of warm decode calls issued (one
+        per model x bucket; same-architecture models may hit the
+        persistent compile cache rather than recompile)."""
         import jax.numpy as jnp
 
         shapes = self.stored_buckets or []

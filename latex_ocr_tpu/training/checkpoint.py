@@ -10,10 +10,13 @@ saves.
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import orbax.checkpoint as ocp
+
+_ABSL_MUTE_LOCK = threading.Lock()
 
 
 class CheckpointManager:
@@ -85,14 +88,17 @@ class CheckpointManager:
         # restoring without a structural target is exactly what we want
         # here (params-only consumers don't know the opt_state topology);
         # absl's UNSAFE/handler-registry warnings for this call are noise
-        # (restore verified: every leaf comes back trained), so mute them
+        # (restore verified: every leaf comes back trained), so mute them.
+        # The module lock keeps concurrent restores from clobbering each
+        # other's saved logger level.
         absl_logger = logging.getLogger("absl")
-        prev_level = absl_logger.level
-        absl_logger.setLevel(logging.ERROR)
-        try:
-            restored = self._mgr.restore(step)
-        finally:
-            absl_logger.setLevel(prev_level)
+        with _ABSL_MUTE_LOCK:
+            prev_level = absl_logger.level
+            absl_logger.setLevel(logging.ERROR)
+            try:
+                restored = self._mgr.restore(step)
+            finally:
+                absl_logger.setLevel(prev_level)
         params = restored["params"]
         if params_like is not None:
             params = jax.tree.map(

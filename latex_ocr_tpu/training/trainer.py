@@ -140,7 +140,9 @@ class Trainer:
         if restored is not None and not extra:
             # pre-extra checkpoint: best estimate of the resume step
             global_step = start_epoch * n_batches
-        metrics_writer = MetricsWriter(self.dir_output)
+        metrics_writer = MetricsWriter(
+            self.dir_output, tensorboard=bool(config.get("tensorboard", True))
+        )
         profiler = StepProfiler.from_config(config, self.dir_output)
 
         for epoch in range(start_epoch, config.n_epochs):

@@ -110,12 +110,18 @@ def test_multiprocess_distributed_train_step():
             )
             for pid in range(2)
         ]
-        return procs, [p.communicate(timeout=240)[0] for p in procs]
+        try:
+            return procs, [p.communicate(timeout=240)[0] for p in procs]
+        except subprocess.TimeoutExpired:
+            for p in procs:  # reap both workers, no orphans
+                p.kill()
+                p.communicate()
+            return procs, ["<rendezvous timed out>"] * len(procs)
 
     procs, outs = attempt()
     if any(p.returncode != 0 for p in procs):
-        # the gloo rendezvous can time out when the host is under heavy
-        # load (e.g. a dataset build saturating every core) — one retry
+        # the gloo rendezvous can hang or fail when the host is under
+        # heavy load (e.g. a dataset build saturating the core) — one retry
         procs, outs = attempt()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}"
