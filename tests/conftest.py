@@ -45,3 +45,24 @@ def small_dataset(tmp_path_factory):
     )
     paths["buckets"] = buckets
     return paths
+
+
+@pytest.fixture(scope="session")
+def mini_dataset(tmp_path_factory):
+    """A 2-bucket synthetic dataset for the trainer-loop tests.
+
+    Every distinct (image bucket, length bucket) shape costs a separate
+    XLA compile on the single-CPU build host; the full-bucket-table
+    coverage lives in `small_dataset`-based tests, while the trainer
+    lifecycle tests (resume, cached pipeline, DP mesh) only need *some*
+    shape diversity — two buckets keeps them honest at a third of the
+    compile bill."""
+    from latex_ocr_tpu.data.synthetic import make_synthetic_dataset
+
+    out_dir = str(tmp_path_factory.mktemp("minidata"))
+    buckets = [[240, 100], [320, 80]]
+    paths = make_synthetic_dataset(
+        out_dir, n_train=24, n_val=8, n_test=8, seed=1, buckets=buckets, n_threads=2
+    )
+    paths["buckets"] = buckets
+    return paths

@@ -21,26 +21,26 @@ TINY = {
 
 
 @pytest.mark.slow
-def test_exact_resume(small_dataset, tmp_path):
+def test_exact_resume(mini_dataset, tmp_path):
     vocab = Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
-                          "path_vocab": small_dataset["path_vocab"]}))
+                          "path_vocab": mini_dataset["path_vocab"]}))
 
     def pipe(cache_tag):
         return build_cached_pipeline(
-            small_dataset["path_formulas_train"],
-            small_dataset["dir_images_train"],
-            small_dataset["path_matching_train"],
+            mini_dataset["path_formulas_train"],
+            mini_dataset["dir_images_train"],
+            mini_dataset["path_matching_train"],
             vocab.form_prepro,
             str(tmp_path / f"cache_{cache_tag}"),
             batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
-            max_len=20, buckets=small_dataset["buckets"],
+            max_len=20, buckets=mini_dataset["buckets"],
             max_formula_len=21, shuffle_seed=7,
         )
 
     def run(out_dir, n_epochs, tag):
         config = Config(dict(TINY, batch_size=8, n_epochs=n_epochs, dropout=1.0,
                              clip=-1, lr_method="adam",
-                             buckets=small_dataset["buckets"], seed=3))
+                             buckets=mini_dataset["buckets"], seed=3))
         model = Img2SeqModel(config, vocab)
         trainer = Trainer(model, config, out_dir)
         trainer.train(pipe(tag), pipe(tag + "v"), LRSchedule(lr_init=1e-3))
@@ -60,7 +60,7 @@ def test_exact_resume(small_dataset, tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6)
 
 
-def test_warm_start_init_params_and_fresh_host_state(small_dataset, tmp_path):
+def test_warm_start_init_params_and_fresh_host_state(mini_dataset, tmp_path):
     """Warm starts transfer weights WITHOUT the donor's host state.
 
     Regression for the round-2 bug where fine-tune scripts copied the
@@ -75,24 +75,24 @@ def test_warm_start_init_params_and_fresh_host_state(small_dataset, tmp_path):
 
     from latex_ocr_tpu.training.checkpoint import CheckpointManager
 
-    vocab = Vocab(Config({"path_vocab": small_dataset["path_vocab"],
+    vocab = Vocab(Config({"path_vocab": mini_dataset["path_vocab"],
                           "unk": "_UNK", "pad": "_PAD", "end": "_END"}))
 
     def pipe(tag):
         return build_cached_pipeline(
-            small_dataset["path_formulas_train"],
-            small_dataset["dir_images_train"],
-            small_dataset["path_matching_train"],
+            mini_dataset["path_formulas_train"],
+            mini_dataset["dir_images_train"],
+            mini_dataset["path_matching_train"],
             vocab.form_prepro,
             str(tmp_path / f"cache_w{tag}"),
             batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
-            max_len=20, buckets=small_dataset["buckets"],
+            max_len=20, buckets=mini_dataset["buckets"],
             max_formula_len=21, shuffle_seed=7,
         )
 
     config = Config(dict(TINY, batch_size=8, n_epochs=1, dropout=1.0,
                          clip=-1, lr_method="adam",
-                         buckets=small_dataset["buckets"], seed=3))
+                         buckets=mini_dataset["buckets"], seed=3))
     model = Img2SeqModel(config, vocab)
 
     # donor run: 1 epoch, saves a checkpoint with a (good) best_score
@@ -104,7 +104,7 @@ def test_warm_start_init_params_and_fresh_host_state(small_dataset, tmp_path):
     # _final_params IS the initialized tree: must equal the donor weights
     cfg0 = Config(dict(TINY, batch_size=8, n_epochs=0, dropout=1.0,
                        clip=-1, lr_method="adam",
-                       buckets=small_dataset["buckets"], seed=99))
+                       buckets=mini_dataset["buckets"], seed=99))
     t0 = Trainer(model, cfg0, str(tmp_path / "ft0/"))
     t0.train(pipe("f0"), pipe("f0v"), LRSchedule(lr_init=1e-3),
              init_params=donor_params)

@@ -18,22 +18,22 @@ TINY = {
 
 
 @pytest.mark.slow
-def test_trainer_with_cached_pipeline(small_dataset, tmp_path):
+def test_trainer_with_cached_pipeline(mini_dataset, tmp_path):
     vocab = Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
-                          "path_vocab": small_dataset["path_vocab"]}))
+                          "path_vocab": mini_dataset["path_vocab"]}))
     config = Config(dict(TINY, batch_size=8, n_epochs=1, dropout=1.0, clip=-1,
-                         lr_method="adam", buckets=small_dataset["buckets"], seed=0))
+                         lr_method="adam", buckets=mini_dataset["buckets"], seed=0))
     model = Img2SeqModel(config, vocab)
 
     def pipe(split, shuffle):
         return build_cached_pipeline(
-            small_dataset[f"path_formulas_{split}"],
-            small_dataset[f"dir_images_{split}"],
-            small_dataset[f"path_matching_{split}"],
+            mini_dataset[f"path_formulas_{split}"],
+            mini_dataset[f"dir_images_{split}"],
+            mini_dataset[f"path_matching_{split}"],
             vocab.form_prepro,
             str(tmp_path / f"cache_{split}"),
             batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
-            max_len=20, buckets=small_dataset["buckets"],
+            max_len=20, buckets=mini_dataset["buckets"],
             max_formula_len=21, shuffle_seed=0 if shuffle else None,
         )
 

@@ -40,22 +40,22 @@ def test_pipeline_with_sharding(small_dataset):
 
 
 @pytest.mark.slow
-def test_trainer_dp_mesh_epoch(small_dataset, tmp_path):
+def test_trainer_dp_mesh_epoch(mini_dataset, tmp_path):
     mesh = make_mesh(jax.devices()[:8])
     vocab = Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
-                          "path_vocab": small_dataset["path_vocab"]}))
+                          "path_vocab": mini_dataset["path_vocab"]}))
     config = Config(dict(
         TINY, batch_size=8, n_epochs=1, dropout=1.0, clip=-1,
-        lr_method="adam", buckets=small_dataset["buckets"], seed=0,
+        lr_method="adam", buckets=mini_dataset["buckets"], seed=0,
     ))
     model = Img2SeqModel(config, vocab)
     trainer = Trainer(model, config, str(tmp_path) + "/run/", mesh=mesh)
 
     def ds(split):
         return DataGenerator(
-            small_dataset[f"path_formulas_{split}"],
-            small_dataset[f"dir_images_{split}"],
-            small_dataset[f"path_matching_{split}"],
+            mini_dataset[f"path_formulas_{split}"],
+            mini_dataset[f"dir_images_{split}"],
+            mini_dataset[f"path_matching_{split}"],
             img_prepro=default_img_prepro, form_prepro=vocab.form_prepro,
             bucket=True, bucket_size=8, max_len=20,
         )
