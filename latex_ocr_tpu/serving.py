@@ -224,6 +224,60 @@ class LatexOCRServer:
             "mean_ms": float(lats.mean() * 1e3),
         }
 
+    def metrics_text(self) -> str:
+        """Prometheus exposition-format snapshot of the server's counters.
+
+        Serve it from any HTTP framework (or ``serve_metrics_http``) for
+        scraping; no client library required."""
+        s = self.latency_summary()
+        with self._lock:
+            pending = self._pending
+        lines = [
+            "# HELP latexocr_requests_served_total Requests decoded successfully.",
+            "# TYPE latexocr_requests_served_total counter",
+            f"latexocr_requests_served_total {int(s.get('count', 0))}",
+            "# HELP latexocr_pending_requests Requests queued, not yet decoded.",
+            "# TYPE latexocr_pending_requests gauge",
+            f"latexocr_pending_requests {pending}",
+            "# HELP latexocr_registered_models Models registered for routing.",
+            "# TYPE latexocr_registered_models gauge",
+            f"latexocr_registered_models {len(self.models)}",
+        ]
+        for q, name in ((50, "p50"), (95, "p95"), (99, "p99")):
+            if s:
+                lines += [
+                    f"# TYPE latexocr_latency_{name}_seconds gauge",
+                    f"latexocr_latency_{name}_seconds {s[f'{name}_ms'] / 1e3:.6f}",
+                ]
+        return "\n".join(lines) + "\n"
+
+    def serve_metrics_http(self, port: int = 0):
+        """Start a daemon HTTP server exposing /metrics; returns (server,
+        bound_port). Call ``server.shutdown()`` to stop."""
+        import http.server
+        import threading as _threading
+
+        outer = self
+
+        class _Handler(http.server.BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 - http.server API
+                if self.path != "/metrics":
+                    self.send_error(404)
+                    return
+                body = outer.metrics_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        httpd = http.server.ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        _threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, httpd.server_address[1]
+
 
 def run_qps_benchmark(
     server: LatexOCRServer,

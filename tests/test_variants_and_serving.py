@@ -191,6 +191,53 @@ def test_serving_multi_model_routing():
         server.close()
 
 
+def test_serving_metrics_endpoint():
+    """metrics_text() is valid Prometheus exposition; the HTTP endpoint
+    serves it on /metrics and 404s elsewhere."""
+    import urllib.request
+
+    from latex_ocr_tpu.serving import LatexOCRServer
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    server = LatexOCRServer(model, params, buckets=[[96, 96]], max_batch=4,
+                            max_wait_ms=5)
+    try:
+        img = np.random.default_rng(3).integers(0, 255, (40, 44, 1)).astype(np.uint8)
+        server.submit(img).result(timeout=120)
+
+        text = server.metrics_text()
+        assert "latexocr_requests_served_total 1" in text
+        assert "latexocr_registered_models 1" in text
+        assert "latexocr_latency_p50_seconds" in text
+
+        httpd, port = server.serve_metrics_http()
+        try:
+            body = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30
+            ).read().decode()
+            assert "latexocr_requests_served_total" in body
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/other", timeout=30)
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            httpd.shutdown()
+    finally:
+        server.close()
+
+
 def test_feature_map_dump(tmp_path):
     import os
 
