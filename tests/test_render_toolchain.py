@@ -84,6 +84,10 @@ def fake_toolchain(tmp_path, monkeypatch):
     monkeypatch.setenv("PATH", f"{bin_dir}:{os.environ['PATH']}")
     monkeypatch.delenv("FAKE_LATEX_BLANK", raising=False)
     monkeypatch.delenv("FAKE_LATEX_HANG", raising=False)
+    # the fake tools are python scripts whose interpreter startup (numpy +
+    # PIL imports) can exceed the production 10s kill-timer on a loaded
+    # 1-CPU host — widen it here; the timeout-kill test pins its own value
+    monkeypatch.setattr(render, "TIMEOUT", 120)
     # which() caches nothing, but render checks availability at call time
     assert latex_toolchain_available()
     return bin_dir
