@@ -38,6 +38,8 @@ class CachedBatchPipeline:
         n_threads: int = 8,
         target_batch_pixels: Optional[int] = None,
         max_iter: Optional[int] = None,
+        device_resident: bool = False,
+        max_resident_bytes: int = 6 << 30,
     ):
         assert len(cache) == len(formulas), (len(cache), len(formulas))
         self.cache = cache
@@ -65,6 +67,44 @@ class CachedBatchPipeline:
         for i in range(len(cache)):
             shape = snap_image_shape(cache.shape(i), self.stored_buckets)
             self._groups.setdefault(shape, []).append(i)
+
+        # device-resident dataset: upload each bucket group's white-padded
+        # image stack to HBM ONCE, then gather batches on device by index —
+        # the steady-state train loop transfers only indices + formula ids
+        # (KB/step) instead of the image batch (MB/step). This is both the
+        # TPU-shaped design (minimize host<->device traffic) and the
+        # mitigation for the tunneled-runtime transfer leak measured in
+        # docs/design.md §13. Incompatible with a batch sharding (multi-host
+        # feeds per-host shards from the host path instead).
+        self.device_resident = bool(device_resident)
+        if self.device_resident and self.sharding is not None:
+            raise ValueError("device_resident and sharding are mutually exclusive")
+        total = sum(
+            (len(g) + 1) * h * w for (h, w), g in self._groups.items()
+        )
+        if self.device_resident and total > max_resident_bytes:
+            raise ValueError(
+                f"dataset needs {total / 1e9:.1f} GB resident, over the "
+                f"{max_resident_bytes / 1e9:.1f} GB cap — use the host path"
+            )
+        self._resident: Optional[Dict[Tuple[int, int], object]] = None
+        self._positions: Dict[int, int] = {}  # cache idx -> position in its group
+
+    def _ensure_resident(self) -> None:
+        """Upload every group stack (plus one all-white padding row at the
+        end of each stack) to the default device."""
+        import jax
+
+        if self._resident is not None:
+            return
+        self._resident = {}
+        for (H, W), idxs in self._groups.items():
+            # capacity len+1: the native assembler white-fills unused rows,
+            # so row len(idxs) is the all-white tail-padding image
+            stack = self.cache.batch(idxs, len(idxs) + 1, H, W, self.n_threads)
+            self._resident[(H, W)] = jax.device_put(stack)
+            for pos, i in enumerate(idxs):
+                self._positions[i] = pos
 
     def set_epoch(self, epoch: int) -> None:
         """Pin the shuffle epoch (for exact resume: the trainer drives the
@@ -122,9 +162,19 @@ class CachedBatchPipeline:
         if rng is not None:
             rng.shuffle(order)
 
+        if self.device_resident:
+            self._ensure_resident()
+            import jax.numpy as jnp
+
         for (H, W), idxs in order:
             b = self.batch_size_for((H, W))
-            image = self.cache.batch(idxs, b, H, W, self.n_threads)
+            if self.device_resident:
+                n_group = len(self._groups[(H, W)])
+                pos = np.full((b,), n_group, np.int32)  # white padding row
+                pos[: len(idxs)] = [self._positions[i] for i in idxs]
+                image = jnp.take(self._resident[(H, W)], pos, axis=0)
+            else:
+                image = self.cache.batch(idxs, b, H, W, self.n_threads)
 
             forms = [self.formulas[i] for i in idxs]
             max_len = max(len(f) for f in forms)

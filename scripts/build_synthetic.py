@@ -34,13 +34,18 @@ DEFAULT_BUCKETS = [
 @click.option("--seed", default=11)
 @click.option("--handwritten", is_flag=True, default=False)
 @click.option("--n-threads", default=8)
-def main(out, n_train, n_val, n_test, min_len, max_len, seed, handwritten, n_threads):
+@click.option("--buckets", "buckets_json", default=None,
+              help='JSON bucket table, e.g. "[[240,100],[1600,200]]" '
+                   "(default: the standard 8-bucket table)")
+def main(out, n_train, n_val, n_test, min_len, max_len, seed, handwritten,
+         n_threads, buckets_json):
     from latex_ocr_tpu.data.synthetic import make_synthetic_dataset
 
+    buckets = json.loads(buckets_json) if buckets_json else DEFAULT_BUCKETS
     paths = make_synthetic_dataset(
         out, n_train=n_train, n_val=n_val, n_test=n_test,
         min_len=min_len, max_len=max_len, seed=seed,
-        buckets=DEFAULT_BUCKETS, n_threads=n_threads, handwritten=handwritten,
+        buckets=buckets, n_threads=n_threads, handwritten=handwritten,
     )
     name = os.path.basename(out.rstrip("/"))
     data_cfg = {
@@ -57,7 +62,7 @@ def main(out, n_train, n_val, n_test, min_len, max_len, seed, handwritten, n_thr
         "max_iter": None,
         "max_length_formula": max_len + 1,
         "bucket_train": True, "bucket_val": True, "bucket_test": True,
-        "buckets": DEFAULT_BUCKETS,
+        "buckets": buckets,
     }
     vocab_cfg = {
         "export_name": "vocab.json",

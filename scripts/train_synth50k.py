@@ -45,7 +45,8 @@ def pipe(split, shuffle):
         id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=51,
         buckets=buckets, max_formula_len=52, length_bucket=26,
         shuffle_seed=0 if shuffle else None,
-        target_batch_pixels=64 * 100 * 500)
+        target_batch_pixels=64 * 100 * 500,
+        device_resident=(split == "train"))
 
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)

@@ -104,3 +104,52 @@ def test_cached_pipeline_shuffles_between_epochs(small_dataset, tmp_path):
     first = [b["formula"].tobytes() for b in fast]
     second = [b["formula"].tobytes() for b in fast]
     assert first != second  # epoch reshuffle
+
+
+def test_device_resident_matches_host_assembly(small_dataset, tmp_path):
+    """device_resident=True yields bit-identical batches to the host
+    assembler (including the white tail padding rows), with images already
+    on device."""
+    vocab = _vocab(small_dataset)
+
+    def pipe(tag, resident):
+        return build_cached_pipeline(
+            small_dataset["path_formulas_train"],
+            small_dataset["dir_images_train"],
+            small_dataset["path_matching_train"],
+            vocab.form_prepro,
+            str(tmp_path / f"cache_{tag}"),
+            batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
+            max_len=50, buckets=small_dataset["buckets"],
+            max_formula_len=51, shuffle_seed=5, device_resident=resident,
+        )
+
+    host = pipe("h", False)
+    dev = pipe("d", True)
+    host_batches = list(host)
+    dev_batches = list(dev)
+    assert len(host_batches) == len(dev_batches) > 0
+    for hb, db in zip(host_batches, dev_batches):
+        assert hasattr(db["image"], "sharding")  # a jax array, on device
+        np.testing.assert_array_equal(np.asarray(db["image"]), hb["image"])
+        np.testing.assert_array_equal(db["formula"], hb["formula"])
+        np.testing.assert_array_equal(db["length"], hb["length"])
+        assert int(db["n_real"]) == int(hb["n_real"])
+
+
+def test_device_resident_rejects_sharding_and_oversize(small_dataset, tmp_path):
+    import pytest
+
+    vocab = _vocab(small_dataset)
+    kwargs = dict(
+        batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=50,
+        buckets=small_dataset["buckets"], max_formula_len=51,
+    )
+    with pytest.raises(ValueError, match="resident"):
+        build_cached_pipeline(
+            small_dataset["path_formulas_train"],
+            small_dataset["dir_images_train"],
+            small_dataset["path_matching_train"],
+            vocab.form_prepro, str(tmp_path / "c1"),
+            device_resident=True, max_resident_bytes=1024, **kwargs,
+        )
