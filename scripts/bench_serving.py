@@ -73,15 +73,31 @@ def main(results, data_dir, hw_data, max_len, duration, max_batch):
     params = model.init_params(jax.random.PRNGKey(0))
     params = CheckpointManager(results + "model_weights").restore_params(params)
 
-    printed = _load_images(data_dir + "images_test/")
+    # multi-model fleet: handwritten requests route to the hw fine-tune
+    # (results/hw400, trained by eval_beam_and_handwritten.py) when present
+    models = {"printed": (model, params)}
+    hw_results = "results/hw400/model_weights"
+    if os.path.isdir(hw_results):
+        cfg_hw = Config(dict(cfg.to_dict(), path_vocab=hw_data.rstrip("/") + "/vocab.txt",
+                             max_length_formula=21))
+        vocab_hw = Vocab(cfg_hw)
+        model_hw = Img2SeqModel(cfg_hw, vocab_hw, compute_dtype=jnp.bfloat16,
+                                decoder_dtype=jnp.float32)
+        params_hw = model_hw.init_params(jax.random.PRNGKey(0))
+        params_hw = CheckpointManager(hw_results).restore_params(params_hw)
+        models["handwritten"] = (model_hw, params_hw)
+
+    printed = [(im, "printed") for im in _load_images(data_dir + "images_test/")]
     mixes = {"printed_30qps": (printed, 30.0)}
     hw_dir = hw_data.rstrip("/") + "/images_test/"
     if os.path.isdir(hw_dir):
-        mixes["mixed_printed_hw_25qps"] = (printed[:24] + _load_images(hw_dir, 24), 25.0)
+        hw_name = "handwritten" if "handwritten" in models else "printed"
+        hw = [(im, hw_name) for im in _load_images(hw_dir, 24)]
+        mixes["mixed_printed_hw_25qps"] = (printed[:24] + hw, 25.0)
 
     for name, (imgs, qps) in mixes.items():
         server = LatexOCRServer(
-            model, params, buckets=buckets, max_batch=max_batch,
+            models=models, buckets=buckets, max_batch=max_batch,
             max_wait_ms=10.0, warmup=False,
         )
         t0 = time.perf_counter()
