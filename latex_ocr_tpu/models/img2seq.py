@@ -205,7 +205,8 @@ class Img2SeqModel:
             from ..ops.decoder_kernel import decode_greedy_megakernel
 
             return decode_greedy_megakernel(
-                dec_params, feat, self.max_length, self.id_end
+                dec_params, feat, self.max_length, self.id_end,
+                fallback_use_pallas=self.use_pallas,
             )
         return decode_greedy(
             dec_params, feat, self.max_length, self.id_end,
@@ -223,6 +224,7 @@ class Img2SeqModel:
             return decode_beam_megakernel(
                 dec_params, feat, self.max_length, self.id_end,
                 self.beam_size, length_norm_alpha=self.length_norm_alpha,
+                fallback_use_pallas=self.use_pallas,
             )
         return decode_beam(
             dec_params, feat, self.max_length, self.id_end,

@@ -205,7 +205,10 @@ def _auto_block_b(R: int, E: int, C: int, itemsize: int) -> int:
     return bb
 
 
-@functools.partial(jax.jit, static_argnames=("max_length", "id_end", "block_b", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_length", "id_end", "block_b", "interpret", "fallback_use_pallas"),
+)
 def decode_greedy_megakernel(
     dec_params: Dict,
     img_feat: jnp.ndarray,  # (B, H, W, C) or (B, R, C)
@@ -213,6 +216,7 @@ def decode_greedy_megakernel(
     id_end: int,
     block_b: int | None = None,
     interpret: bool = False,
+    fallback_use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Greedy decode with the whole T-loop in one Pallas kernel.
 
@@ -225,7 +229,8 @@ def decode_greedy_megakernel(
         # Show-Attend-Tell context gate not fused in the kernel
         from ..models.decoding import decode_greedy
 
-        return decode_greedy(dec_params, img_feat, max_length, id_end)
+        return decode_greedy(dec_params, img_feat, max_length, id_end,
+                             use_pallas=fallback_use_pallas)
 
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -235,10 +240,12 @@ def decode_greedy_megakernel(
         block_b = _auto_block_b(R, att_img.shape[-1], C, regions.dtype.itemsize)
         if block_b == 0:
             # image tensors for even one 8-row block exceed VMEM (huge
-            # bucket): stream from HBM via the plain XLA decode instead
+            # bucket): stream from HBM — and there the blockwise Pallas
+            # attention (online softmax over R) still pays, so keep it
             from ..models.decoding import decode_greedy
 
-            return decode_greedy(dec_params, img_feat, max_length, id_end)
+            return decode_greedy(dec_params, img_feat, max_length, id_end,
+                                 use_pallas=fallback_use_pallas)
 
     pad_b = (-B) % block_b
     if pad_b:
@@ -568,6 +575,7 @@ def _beam_kernel(
     static_argnames=(
         "max_length", "id_end", "beam_size", "length_norm_alpha", "block_b",
         "interpret",
+        "fallback_use_pallas",
     ),
 )
 def decode_beam_megakernel(
@@ -579,6 +587,7 @@ def decode_beam_megakernel(
     length_norm_alpha: float = 0.0,
     block_b: int | None = None,
     interpret: bool = False,
+    fallback_use_pallas: bool = False,
 ):
     """Beam search with the whole T-loop in one Pallas kernel.
 
@@ -594,7 +603,7 @@ def decode_beam_megakernel(
     if "gate" in dec_params:
         return decode_beam(
             dec_params, img_feat, max_length, id_end, K,
-            length_norm_alpha=length_norm_alpha,
+            length_norm_alpha=length_norm_alpha, use_pallas=fallback_use_pallas,
         )
 
     regions = flatten_regions(img_feat)
@@ -606,7 +615,7 @@ def decode_beam_megakernel(
         if block_b == 0:
             return decode_beam(
                 dec_params, img_feat, max_length, id_end, K,
-                length_norm_alpha=length_norm_alpha,
+                length_norm_alpha=length_norm_alpha, use_pallas=fallback_use_pallas,
             )
         # the top-k permutation matmuls scale with (Bb*K)^2 — measured
         # sweet spot is Bb*K around 64-128 (bf16, R=184: K=2 best at

@@ -124,6 +124,12 @@ class LatexOCRServer:
         shape = snap_image_shape(img.shape[:2], self.stored_buckets)
         req = _Request(img)
         with self._lock:
+            # re-check under the lock: close() drains queues under this
+            # same lock, so a submit that wins the lock enqueues before the
+            # drain, and one that loses it fails fast instead of enqueueing
+            # into a drained queue nobody will ever serve
+            if self._stop.is_set():
+                raise RuntimeError("server closed")
             if self.max_pending is not None and self._pending >= self.max_pending:
                 req.future.set_exception(
                     RuntimeError(f"server overloaded ({self._pending} pending)")
@@ -131,23 +137,23 @@ class LatexOCRServer:
                 return req.future
             q = self._queues.setdefault((name, shape), queue.Queue())
             self._pending += 1
-        q.put(req)
+            q.put(req)
         return req.future
 
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
-        # fail any requests still queued so callers never hang
+        # fail any requests still queued so callers never hang (same lock
+        # as submit's enqueue — see the re-check there)
         with self._lock:
-            queues = list(self._queues.values())
-        for q in queues:
-            while True:
-                try:
-                    req = q.get_nowait()
-                except queue.Empty:
-                    break
-                if not req.future.done():
-                    req.future.set_exception(RuntimeError("server closed"))
+            for q in self._queues.values():
+                while True:
+                    try:
+                        req = q.get_nowait()
+                    except queue.Empty:
+                        break
+                    if not req.future.done():
+                        req.future.set_exception(RuntimeError("server closed"))
 
     # ------------------------------------------------------------ internals
     def _serve_loop(self) -> None:
@@ -303,9 +309,16 @@ def run_qps_benchmark(
         sleep = next_t - time.perf_counter()
         if sleep > 0:
             time.sleep(sleep)
+    shed = 0
     for f in futures:
-        f.result(timeout=120)
+        try:
+            f.result(timeout=120)
+        except (RuntimeError, TimeoutError):
+            # backpressure rejection or queue timeout — shed load is part
+            # of the benchmark result, not a benchmark failure
+            shed += 1
     out = server.latency_summary()
     out["offered_qps"] = qps
-    out["achieved_qps"] = len(futures) / duration_s
+    out["achieved_qps"] = (len(futures) - shed) / duration_s
+    out["shed"] = float(shed)
     return out

@@ -73,15 +73,24 @@ class CheckpointManager:
             )
         return None  # unreachable: the {} retry either returns or raises
 
-    def restore_params(self, params_like: Optional[Dict] = None) -> Optional[Dict]:
+    def restore_params(
+        self, params_like: Optional[Dict] = None, required: bool = False
+    ) -> Optional[Dict]:
         """Restore only the parameters (for eval/predict builds).
 
         Restores the raw saved tree (no structural target needed) and
         returns its ``params`` subtree; ``params_like`` is only used to
         cast leaves back onto the expected dtypes/devices when given.
+        ``required=True`` raises instead of returning None when no
+        checkpoint exists — warm-start callers must use it, otherwise a
+        missing donor silently trains from random init.
         """
         step = self._mgr.latest_step()
         if step is None:
+            if required:
+                raise FileNotFoundError(
+                    f"no checkpoint under {self.dir_model} (required=True)"
+                )
             return None
         import logging
 

@@ -197,8 +197,12 @@ class Trainer:
             )
             score = scores["perplexity_score"]
             lr_schedule.update(score=score)
+            # written at the true global step (same counter as the train
+            # scalars): pipelines can yield more batches than the
+            # n_batches estimate, and a derived (epoch+1)*n_batches step
+            # would jump backwards in TensorBoard
             metrics_writer.write(
-                (epoch + 1) * n_batches,
+                global_step,
                 {k: v for k, v in scores.items()},
                 epoch=epoch,
                 split="val",

@@ -54,7 +54,7 @@ init_hw = None
 if not os.path.exists(out + "model_weights"):
     # params-only warm start (copying the ckpt dir leaks donor host state)
     donor = model_hw.init_params(jax.random.PRNGKey(0))
-    init_hw = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor)
+    init_hw = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor, required=True)
 trainer_hw = Trainer(model_hw, cfg_hw, out)
 cfg_hw.n_epochs = 350  # ~2450 steps at 7 batches/epoch, matches the 1800-2400 decay window
 lr = LRSchedule(lr_init=3e-4, lr_min=3e-5, start_decay=1800, end_decay=2400)

@@ -12,11 +12,11 @@ echo "=== build datasets ==="
 [ -d data/hw400 ]     || python scripts/build_synthetic.py --out data/hw400 --n-train 400 --n-val 60 --n-test 60 --min-len 3 --max-len 20 --handwritten
 
 echo "=== train synthEZ ==="
-[ -d results/synthEZ/model_weights ] || for i in 1 2 3; do python scripts/train_synthEZ.py && break; echo "retrying train_synthEZ (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synthEZ/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_synthEZ.py && break; echo "retrying train_synthEZ (attempt $i died — auto-resume picks up)"; done
 echo "=== train curriculum (synth10k_cur) ==="
-[ -d results/synth10k_cur/model_weights ] || for i in 1 2 3; do python scripts/train_curriculum.py && break; echo "retrying train_curriculum (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synth10k_cur/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_curriculum.py && break; echo "retrying train_curriculum (attempt $i died — auto-resume picks up)"; done
 echo "=== train synth50k ==="
-[ -d results/synth50k/model_weights ] || for i in 1 2 3; do python scripts/train_synth50k.py && break; echo "retrying train_synth50k (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synth50k/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_synth50k.py && break; echo "retrying train_synth50k (attempt $i died — auto-resume picks up)"; done
 echo "=== beam eval + handwritten transfer ==="
 python scripts/eval_beam_and_handwritten.py
 echo "=== beam x alpha sweep (BASELINE config #3) ==="

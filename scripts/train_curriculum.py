@@ -36,7 +36,7 @@ out = "results/synth10k_cur/"
 init_params = None
 if not os.path.exists(out + "model_weights"):
     donor = model.init_params(jax.random.PRNGKey(0))
-    init_params = CheckpointManager("results/synthEZ/model_weights").restore_params(donor)
+    init_params = CheckpointManager("results/synthEZ/model_weights").restore_params(donor, required=True)
 
 def ds(split):
     return DataGenerator(base + f"{split}.formulas.norm.txt", base + f"images_{split}/",

@@ -36,7 +36,7 @@ if not os.path.exists(out + "model_weights"):
     # params-only warm start (copying the ckpt dir leaks donor host state)
     from latex_ocr_tpu.training.checkpoint import CheckpointManager
     donor = model.init_params(jax.random.PRNGKey(0))
-    init_params = CheckpointManager("results/synth50k/model_weights").restore_params(donor)
+    init_params = CheckpointManager("results/synth50k/model_weights").restore_params(donor, required=True)
 
 def pipe(split, shuffle):
     return build_cached_pipeline(
