@@ -76,17 +76,24 @@ class CachedBatchPipeline:
         # mitigation for the tunneled-runtime transfer leak measured in
         # docs/design.md §13. Incompatible with a batch sharding (multi-host
         # feeds per-host shards from the host path instead).
+        # True: resident or raise. "auto": resident if it fits the cap and
+        # there is no sharding, else fall back to host assembly.
+        auto = device_resident == "auto"
         self.device_resident = bool(device_resident)
         if self.device_resident and self.sharding is not None:
-            raise ValueError("device_resident and sharding are mutually exclusive")
+            if not auto:
+                raise ValueError("device_resident and sharding are mutually exclusive")
+            self.device_resident = False
         total = sum(
             (len(g) + 1) * h * w for (h, w), g in self._groups.items()
         )
         if self.device_resident and total > max_resident_bytes:
-            raise ValueError(
-                f"dataset needs {total / 1e9:.1f} GB resident, over the "
-                f"{max_resident_bytes / 1e9:.1f} GB cap — use the host path"
-            )
+            if not auto:
+                raise ValueError(
+                    f"dataset needs {total / 1e9:.1f} GB resident, over the "
+                    f"{max_resident_bytes / 1e9:.1f} GB cap — use the host path"
+                )
+            self.device_resident = False
         self._resident: Optional[Dict[Tuple[int, int], object]] = None
         self._positions: Dict[int, int] = {}  # cache idx -> position in its group
 

@@ -71,7 +71,9 @@ def main(results, data_dir, hw_data, max_len, duration, max_batch):
     model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16,
                          decoder_dtype=jnp.float32)
     params = model.init_params(jax.random.PRNGKey(0))
-    params = CheckpointManager(results + "model_weights").restore_params(params)
+    params = CheckpointManager(results + "model_weights").restore_params(
+        params, required=True
+    )
 
     # multi-model fleet: handwritten requests route to the hw fine-tune
     # (results/hw400, trained by eval_beam_and_handwritten.py) when present
@@ -84,8 +86,15 @@ def main(results, data_dir, hw_data, max_len, duration, max_batch):
         model_hw = Img2SeqModel(cfg_hw, vocab_hw, compute_dtype=jnp.bfloat16,
                                 decoder_dtype=jnp.float32)
         params_hw = model_hw.init_params(jax.random.PRNGKey(0))
-        params_hw = CheckpointManager(hw_results).restore_params(params_hw)
-        models["handwritten"] = (model_hw, params_hw)
+        try:
+            params_hw = CheckpointManager(hw_results).restore_params(
+                params_hw, required=True
+            )
+        except FileNotFoundError:
+            # dir exists but holds no save (crashed fine-tune) — skip routing
+            params_hw = None
+        if params_hw is not None:
+            models["handwritten"] = (model_hw, params_hw)
 
     printed = [(im, "printed") for im in _load_images(data_dir + "images_test/")]
     mixes = {"printed_30qps": (printed, 30.0)}

@@ -51,7 +51,8 @@ vocab_hw = Vocab(cfg_hw)
 model_hw = Img2SeqModel(cfg_hw, vocab_hw, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 out = "results/hw400/"
 init_hw = None
-if not os.path.exists(out + "model_weights"):
+# probe for a SAVED checkpoint, not the dir (manager mkdirs eagerly)
+if CheckpointManager(out + "model_weights").latest_epoch() is None:
     # params-only warm start (copying the ckpt dir leaks donor host state)
     donor = model_hw.init_params(jax.random.PRNGKey(0))
     init_hw = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor, required=True)

@@ -12,11 +12,11 @@ echo "=== build datasets ==="
 [ -d data/hw400 ]     || python scripts/build_synthetic.py --out data/hw400 --n-train 400 --n-val 60 --n-test 60 --min-len 3 --max-len 20 --handwritten
 
 echo "=== train synthEZ ==="
-[ -n "$(ls -A results/synthEZ/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_synthEZ.py && break; echo "retrying train_synthEZ (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synthEZ/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_synthEZ.py && { ok=1; break; }; echo "train_synthEZ attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synthEZ failed 3 attempts"; exit 1; }; }
 echo "=== train curriculum (synth10k_cur) ==="
-[ -n "$(ls -A results/synth10k_cur/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_curriculum.py && break; echo "retrying train_curriculum (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synth10k_cur/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_curriculum.py && { ok=1; break; }; echo "train_curriculum attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_curriculum failed 3 attempts"; exit 1; }; }
 echo "=== train synth50k ==="
-[ -n "$(ls -A results/synth50k/model_weights 2>/dev/null)" ] || for i in 1 2 3; do python scripts/train_synth50k.py && break; echo "retrying train_synth50k (attempt $i died — auto-resume picks up)"; done
+[ -n "$(ls -A results/synth50k/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_synth50k.py && { ok=1; break; }; echo "train_synth50k attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synth50k failed 3 attempts"; exit 1; }; }
 echo "=== beam eval + handwritten transfer ==="
 python scripts/eval_beam_and_handwritten.py
 echo "=== beam x alpha sweep (BASELINE config #3) ==="

@@ -34,7 +34,9 @@ model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.f
 # the ckpt dir would leak the donor's best_score/epoch and block keep-best)
 out = "results/synth10k_cur/"
 init_params = None
-if not os.path.exists(out + "model_weights"):
+# probe for a SAVED checkpoint (the dir alone proves nothing: the
+# manager mkdirs eagerly, so a run that died pre-save leaves it)
+if CheckpointManager(out + "model_weights").latest_epoch() is None:
     donor = model.init_params(jax.random.PRNGKey(0))
     init_params = CheckpointManager("results/synthEZ/model_weights").restore_params(donor, required=True)
 

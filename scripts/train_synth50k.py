@@ -11,6 +11,7 @@ from latex_ocr_tpu.data.vocab import Vocab
 from latex_ocr_tpu.data.fast_pipeline import build_cached_pipeline
 from latex_ocr_tpu.models.img2seq import Img2SeqModel
 from latex_ocr_tpu.training.trainer import Trainer
+from latex_ocr_tpu.training.checkpoint import CheckpointManager
 from latex_ocr_tpu.utils import Config, LRSchedule
 
 buckets = [[240,100],[320,80],[400,100],[480,100],[560,100],[720,120],[800,100],[1000,200]]
@@ -31,9 +32,10 @@ model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.f
 
 out = "results/synth50k/"
 init_params = None
-if not os.path.exists(out + "model_weights"):
+# probe for a SAVED checkpoint (the dir alone proves nothing: the
+# manager mkdirs eagerly, so a run that died pre-save leaves it)
+if CheckpointManager(out + "model_weights").latest_epoch() is None:
     # params-only warm start (copying the ckpt dir leaks donor host state)
-    from latex_ocr_tpu.training.checkpoint import CheckpointManager
     donor = model.init_params(jax.random.PRNGKey(0))
     init_params = CheckpointManager("results/synth10k_cur/model_weights").restore_params(donor, required=True)
 
@@ -46,7 +48,7 @@ def pipe(split, shuffle):
         buckets=buckets, max_formula_len=52, length_bucket=26,
         shuffle_seed=0 if shuffle else None,
         target_batch_pixels=64 * 100 * 500,
-        device_resident=(split == "train"))
+        device_resident="auto" if split == "train" else False)
 
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)

@@ -153,3 +153,37 @@ def test_device_resident_rejects_sharding_and_oversize(small_dataset, tmp_path):
             vocab.form_prepro, str(tmp_path / "c1"),
             device_resident=True, max_resident_bytes=1024, **kwargs,
         )
+
+
+def test_device_resident_sharding_exclusion_and_auto(small_dataset, tmp_path):
+    import jax
+    import pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from latex_ocr_tpu.parallel.mesh import make_mesh
+
+    vocab = _vocab(small_dataset)
+    mesh = make_mesh(jax.devices()[:8])
+    sharding = NamedSharding(mesh, P("data"))
+    kwargs = dict(
+        batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=50,
+        buckets=small_dataset["buckets"], max_formula_len=51,
+    )
+
+    def build(tag, **kw):
+        return build_cached_pipeline(
+            small_dataset["path_formulas_train"],
+            small_dataset["dir_images_train"],
+            small_dataset["path_matching_train"],
+            vocab.form_prepro, str(tmp_path / tag), **kwargs, **kw,
+        )
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build("c_excl", device_resident=True, sharding=sharding)
+    # auto degrades to the host path instead of raising
+    p1 = build("c_auto1", device_resident="auto", sharding=sharding)
+    assert p1.device_resident is False
+    p2 = build("c_auto2", device_resident="auto", max_resident_bytes=1024)
+    assert p2.device_resident is False
+    p3 = build("c_auto3", device_resident="auto")
+    assert p3.device_resident is True
