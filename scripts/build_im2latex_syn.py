@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Build the im2latexSyn dataset: REAL im2latex formulas, synthetic raster.
+
+The environment has no egress and no LaTeX toolchain, but the upstream
+reference checkout ships the im2latex-100k val/test formula files
+(reference data/val.formulas.norm.txt 8,475 lines, test.formulas.norm.txt
+9,444 lines). This script reads those REAL token sequences at runtime
+(nothing is copied into this repo) and renders them with the synthetic
+glyph rasterizer — so quality numbers measure learning the *real* LaTeX
+token distribution (vocab ~500, lengths to 150, true n-gram structure)
+through the full pipeline; only the rasterizer differs from the real
+task.
+
+Split: train = the val-file formulas; val/test = disjoint slices of the
+test-file formulas. Formulas too wide for the bucket table are dropped at
+render time exactly like the reference's pad_image->False path.
+
+Usage:
+    python scripts/build_im2latex_syn.py          # defaults to /root/reference/data
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import click
+
+# 12-bucket table: the standard 8 plus wide rows for long formulas
+# (raw glyph row is ~20 px/token, so [2400,200] covers ~118 tokens)
+BUCKETS = [
+    [240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
+    [720, 120], [800, 100], [1000, 200], [1200, 200], [1600, 200],
+    [2000, 200], [2400, 200],
+]
+
+
+@click.command()
+@click.option("--source", default="/root/reference/data",
+              help="Dir holding val.formulas.norm.txt / test.formulas.norm.txt")
+@click.option("--out", default="data/im2latexSyn")
+@click.option("--n-val", default=500)
+@click.option("--n-test", default=1500)
+@click.option("--max-len", default=150)
+@click.option("--n-threads", default=8)
+def main(source, out, n_val, n_test, max_len, n_threads):
+    from collections import Counter
+
+    from latex_ocr_tpu.data.render import build_images
+    from latex_ocr_tpu.data.vocab import write_vocab
+
+    src_val = os.path.join(source, "val.formulas.norm.txt")
+    src_test = os.path.join(source, "test.formulas.norm.txt")
+    if not (os.path.exists(src_val) and os.path.exists(src_test)):
+        raise click.ClickException(
+            f"real formula files not found under {source} — point --source at "
+            "a dir with val.formulas.norm.txt/test.formulas.norm.txt"
+        )
+
+    def load(path):
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    train_formulas = [f for f in load(src_val) if len(f.split()) <= max_len]
+    pool = [f for f in load(src_test) if len(f.split()) <= max_len]
+    val_formulas, test_formulas = pool[:n_val], pool[n_val : n_val + n_test]
+    click.echo(
+        f"real formulas: train {len(train_formulas)}, val {len(val_formulas)}, "
+        f"test {len(test_formulas)} (<= {max_len} tokens)"
+    )
+
+    os.makedirs(out, exist_ok=True)
+    for split, formulas in (
+        ("train", train_formulas), ("val", val_formulas), ("test", test_formulas)
+    ):
+        fpath = os.path.join(out, f"{split}.formulas.norm.txt")
+        with open(fpath, "w") as f:
+            f.write("\n".join(formulas) + "\n")
+        dir_images = os.path.join(out, f"images_{split}/")
+        result = build_images(
+            dict(enumerate(formulas)), dir_images, buckets=BUCKETS,
+            n_threads=n_threads, force_synthetic=True,
+        )
+        with open(os.path.join(out, f"{split}.matching.txt"), "w") as f:
+            for path_img, idx in sorted(result, key=lambda r: r[1]):
+                f.write(f"{path_img} {idx}\n")
+        click.echo(f"{split}: rendered {len(result)}/{len(formulas)} "
+                   "(over-wide formulas dropped, reference pad_image semantics)")
+
+    # reference vocab contract: token-level, min_count 10 (reference
+    # configs/vocab.json + text.py build_vocab semantics)
+    counter = Counter()
+    for f in train_formulas:
+        counter.update(f.split())
+    vocab = sorted(tok for tok, c in counter.items() if c >= 10)
+    write_vocab(vocab, os.path.join(out, "vocab.txt"))
+    click.echo(f"vocab: {len(vocab)} tokens (min_count=10)")
+
+    with open(os.path.join(out, "buckets.json"), "w") as f:
+        json.dump(BUCKETS, f)
+    click.echo("done")
+
+
+if __name__ == "__main__":
+    main()
