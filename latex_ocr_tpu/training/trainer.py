@@ -191,7 +191,16 @@ class Trainer:
                 f"- Training: {prog.info} ({n_images / max(1e-6, elapsed):.1f} img/s)"
             )
 
-            # ---- evaluation on val: decode + metrics, select on perplexity
+            # ---- evaluation on val: decode + metrics, select on perplexity.
+            # eval_every > 1 skips the (expensive) full-val decode on
+            # intermediate epochs — keep-best/LR-score/early-stop all move
+            # only on eval epochs; the final epoch always evaluates.
+            eval_every = int(config.get("eval_every", 1))
+            if (epoch + 1) % eval_every != 0 and epoch != config.n_epochs - 1:
+                self.logger.info(
+                    f"- Elapsed: {elapsed:.2f}s (eval skipped, every {eval_every})"
+                )
+                continue
             scores = self.evaluate(
                 params, val_set, os.path.join(self.dir_output, "formulas_val/")
             )
