@@ -44,7 +44,13 @@ BUCKETS = [
 @click.option("--n-test", default=1500)
 @click.option("--max-len", default=150)
 @click.option("--n-threads", default=8)
-def main(source, out, n_val, n_test, max_len, n_threads):
+@click.option("--augment-ngram", default=0,
+              help="Append N trigram-sampled formulas (backoff to bigram/"
+                   "unigram) drawn from the real train corpus. Makes decoder "
+                   "memorization impossible at small corpus sizes while "
+                   "keeping the token distribution real; eval splits stay "
+                   "100% real formulas.")
+def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
@@ -69,6 +75,47 @@ def main(source, out, n_val, n_test, max_len, n_threads):
         f"real formulas: train {len(train_formulas)}, val {len(val_formulas)}, "
         f"test {len(test_formulas)} (<= {max_len} tokens)"
     )
+
+    if augment_ngram:
+        import numpy as np
+
+        rng = np.random.default_rng(23)
+        # trigram table with bigram/unigram backoff over the train corpus
+        tri, bi, uni, lengths = {}, {}, Counter(), []
+        for f in train_formulas:
+            toks = f.split()
+            lengths.append(len(toks))
+            uni.update(toks)
+            for i in range(len(toks) - 1):
+                bi.setdefault(toks[i], []).append(toks[i + 1])
+            for i in range(len(toks) - 2):
+                tri.setdefault((toks[i], toks[i + 1]), []).append(toks[i + 2])
+        uni_toks = list(uni)
+        uni_p = np.array([uni[t] for t in uni_toks], np.float64)
+        uni_p /= uni_p.sum()
+        seen = set(train_formulas)
+        sampled = []
+        while len(sampled) < augment_ngram:
+            L = int(lengths[int(rng.integers(0, len(lengths)))])
+            toks = [str(rng.choice(uni_toks, p=uni_p))]
+            while len(toks) < L:
+                nxt = None
+                if len(toks) >= 2 and (toks[-2], toks[-1]) in tri:
+                    cands = tri[(toks[-2], toks[-1])]
+                    nxt = cands[int(rng.integers(0, len(cands)))]
+                elif toks[-1] in bi:
+                    cands = bi[toks[-1]]
+                    nxt = cands[int(rng.integers(0, len(cands)))]
+                else:
+                    nxt = str(rng.choice(uni_toks, p=uni_p))
+                toks.append(nxt)
+            f = " ".join(toks)
+            if f not in seen:  # unique, and never a real eval formula
+                seen.add(f)
+                sampled.append(f)
+        train_formulas = train_formulas + sampled
+        click.echo(f"augmented train with {len(sampled)} trigram-sampled formulas "
+                   f"-> {len(train_formulas)} total")
 
     os.makedirs(out, exist_ok=True)
     for split, formulas in (

@@ -29,8 +29,8 @@ cfg = Config({
     "max_length_formula": 150,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
     "path_vocab": base + "vocab.txt",
-    "batch_size": 256, "n_epochs": 200, "dropout": 1.0, "clip": 5.0,
-    "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 5,
+    "batch_size": 256, "n_epochs": 60, "dropout": 0.65, "clip": 5.0,
+    "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
 })
 vocab = Vocab(cfg)
 model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
