@@ -29,8 +29,12 @@ from .predict_cli import load_model
 @click.option("--duration", default=10.0, help="Benchmark duration (s)")
 @click.option("--max-batch", default=16)
 @click.option("--max-wait-ms", default=10.0)
+@click.option("--quota", "quotas", multiple=True,
+              help="Per-model QPS quota as name=qps (repeatable); requests "
+                   "over a model's quota are shed with a fast failure "
+                   "instead of starving the other routed models")
 def main(results: str, extra_models, image_dir: str, qps: float, duration: float,
-         max_batch: int, max_wait_ms: float) -> None:
+         max_batch: int, max_wait_ms: float, quotas) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
@@ -63,8 +67,20 @@ def main(results: str, extra_models, image_dir: str, qps: float, duration: float
     names = list(models)
     imgs = [(img, names[i % len(names)]) for i, img in enumerate(raw)]
 
+    quota_map = {}
+    for spec in quotas:
+        if "=" not in spec:
+            raise click.ClickException(f"--quota expects name=qps, got {spec!r}")
+        name, rate = spec.split("=", 1)
+        if name not in models:
+            raise click.ClickException(
+                f"--quota for unknown model {name!r}; have {sorted(models)}"
+            )
+        quota_map[name] = float(rate)
+
     server = LatexOCRServer(
-        models=models, buckets=buckets, max_batch=max_batch, max_wait_ms=max_wait_ms
+        models=models, buckets=buckets, max_batch=max_batch,
+        max_wait_ms=max_wait_ms, quotas=quota_map or None,
     )
     try:
         # precompile every (model, bucket, max_batch) decode program so the

@@ -54,6 +54,7 @@ class LatexOCRServer:
         request_timeout_ms: Optional[float] = None,
         warmup: bool = False,
         models: Optional[Dict[str, Tuple[object, object]]] = None,
+        quotas: Optional[Dict[str, float]] = None,
     ):
         if models is None:
             if model is None:
@@ -76,6 +77,19 @@ class LatexOCRServer:
         self.request_timeout_s = (
             None if request_timeout_ms is None else request_timeout_ms / 1000.0
         )
+        # per-model QPS quotas: token bucket with burst == 1s of quota,
+        # refilled on each submit. A request over quota fails fast with an
+        # already-rejected future (same shedding contract as max_pending)
+        # so one tenant's flood cannot starve the other routed models.
+        for name in quotas or {}:
+            if name not in self.models:
+                raise KeyError(f"quota for unknown model {name!r}")
+        self._quota = {
+            name: {"rate": float(qps), "tokens": max(1.0, float(qps)),
+                   "burst": max(1.0, float(qps)), "last": time.perf_counter()}
+            for name, qps in (quotas or {}).items()
+        }
+        self._quota_rejected = 0
         # one queue per (model name, stored bucket shape)
         self._queues: Dict[Tuple[str, Tuple[int, int]], queue.Queue] = {}
         self._metrics_httpd = None
@@ -136,6 +150,25 @@ class LatexOCRServer:
                     RuntimeError(f"server overloaded ({self._pending} pending)")
                 )
                 return req.future
+            bucket_state = self._quota.get(name)
+            if bucket_state is not None:
+                now = time.perf_counter()
+                bucket_state["tokens"] = min(
+                    bucket_state["burst"],
+                    bucket_state["tokens"]
+                    + (now - bucket_state["last"]) * bucket_state["rate"],
+                )
+                bucket_state["last"] = now
+                if bucket_state["tokens"] < 1.0:
+                    self._quota_rejected += 1
+                    req.future.set_exception(
+                        RuntimeError(
+                            f"quota exceeded for model {name!r} "
+                            f"({bucket_state['rate']:g} qps)"
+                        )
+                    )
+                    return req.future
+                bucket_state["tokens"] -= 1.0
             q = self._queues.setdefault((name, shape), queue.Queue())
             self._pending += 1
             q.put(req)
@@ -253,6 +286,10 @@ class LatexOCRServer:
             "# HELP latexocr_registered_models Models registered for routing.",
             "# TYPE latexocr_registered_models gauge",
             f"latexocr_registered_models {len(self.models)}",
+            "# HELP latexocr_quota_rejected_total Requests shed by per-model "
+            "QPS quotas.",
+            "# TYPE latexocr_quota_rejected_total counter",
+            f"latexocr_quota_rejected_total {self._quota_rejected}",
         ]
         if s:
             for name in ("p50", "p95", "p99"):
@@ -327,7 +364,9 @@ def run_qps_benchmark(
             # only the server's own backpressure/shutdown rejections count
             # as shed — jax's XlaRuntimeError also subclasses RuntimeError
             # and a masked decode crash must fail the bench loudly
-            if str(e).startswith(("server overloaded", "server closed")):
+            if str(e).startswith(
+                ("server overloaded", "server closed", "quota exceeded")
+            ):
                 shed += 1
             else:
                 raise

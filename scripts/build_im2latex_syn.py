@@ -50,7 +50,18 @@ BUCKETS = [
                    "memorization impossible at small corpus sizes while "
                    "keeping the token distribution real; eval splits stay "
                    "100% real formulas.")
-def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram):
+@click.option("--augment-mode", default="trigram",
+              type=click.Choice(["trigram", "shuffle"]),
+              help="trigram: n-gram LM samples (real-looking grammar — but "
+                   "gives the decoder a cheap LM shortcut that can stall "
+                   "attention grounding at the n-gram entropy floor). "
+                   "shuffle: random permutations of real formulas — same "
+                   "token/length distribution, NO learnable sequence "
+                   "structure, so the only way to reduce loss on augmented "
+                   "samples is to read the pixels (mirrors why the "
+                   "random-token synth task grounds reliably).")
+def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
+         augment_mode):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
@@ -96,26 +107,30 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram):
         seen = set(train_formulas)
         sampled = []
         while len(sampled) < augment_ngram:
-            L = int(lengths[int(rng.integers(0, len(lengths)))])
-            toks = [str(rng.choice(uni_toks, p=uni_p))]
-            while len(toks) < L:
-                nxt = None
-                if len(toks) >= 2 and (toks[-2], toks[-1]) in tri:
-                    cands = tri[(toks[-2], toks[-1])]
-                    nxt = cands[int(rng.integers(0, len(cands)))]
-                elif toks[-1] in bi:
-                    cands = bi[toks[-1]]
-                    nxt = cands[int(rng.integers(0, len(cands)))]
-                else:
-                    nxt = str(rng.choice(uni_toks, p=uni_p))
-                toks.append(nxt)
+            if augment_mode == "shuffle":
+                src = train_formulas[int(rng.integers(0, len(train_formulas)))]
+                toks = list(rng.permutation(src.split()))
+            else:
+                L = int(lengths[int(rng.integers(0, len(lengths)))])
+                toks = [str(rng.choice(uni_toks, p=uni_p))]
+                while len(toks) < L:
+                    nxt = None
+                    if len(toks) >= 2 and (toks[-2], toks[-1]) in tri:
+                        cands = tri[(toks[-2], toks[-1])]
+                        nxt = cands[int(rng.integers(0, len(cands)))]
+                    elif toks[-1] in bi:
+                        cands = bi[toks[-1]]
+                        nxt = cands[int(rng.integers(0, len(cands)))]
+                    else:
+                        nxt = str(rng.choice(uni_toks, p=uni_p))
+                    toks.append(nxt)
             f = " ".join(toks)
             if f not in seen:  # unique, and never a real eval formula
                 seen.add(f)
                 sampled.append(f)
         train_formulas = train_formulas + sampled
-        click.echo(f"augmented train with {len(sampled)} trigram-sampled formulas "
-                   f"-> {len(train_formulas)} total")
+        click.echo(f"augmented train with {len(sampled)} {augment_mode}-sampled "
+                   f"formulas -> {len(train_formulas)} total")
 
     os.makedirs(out, exist_ok=True)
     for split, formulas in (

@@ -10,7 +10,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from latex_ocr_tpu.utils.jax_setup import setup_jax
 setup_jax()
-import json, time
+import argparse, json, time
 import jax, jax.numpy as jnp
 from latex_ocr_tpu.data.vocab import Vocab
 from latex_ocr_tpu.data.fast_pipeline import build_cached_pipeline
@@ -18,9 +18,17 @@ from latex_ocr_tpu.models.img2seq import Img2SeqModel
 from latex_ocr_tpu.training.trainer import Trainer
 from latex_ocr_tpu.utils import Config, LRSchedule
 
-with open("data/im2latexSyn/buckets.json") as f:
+ap = argparse.ArgumentParser()
+ap.add_argument("--data-dir", default="data/im2latexSyn")
+ap.add_argument("--out", default="results/im2latexSyn/")
+ap.add_argument("--dropout", type=float, default=0.65,
+                help="keep probability (TF semantics, reference model.json)")
+ap.add_argument("--n-epochs", type=int, default=60)
+args = ap.parse_args()
+
+base = args.data_dir.rstrip("/") + "/"
+with open(base + "buckets.json") as f:
     buckets = json.load(f)
-base = "data/im2latexSyn/"
 cfg = Config({
     "encoder_cnn": "vanilla", "positional_embeddings": True,
     "attn_cell_config": {"cell_type": "lstm", "num_units": 512, "dim_e": 256,
@@ -29,7 +37,8 @@ cfg = Config({
     "max_length_formula": 150,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
     "path_vocab": base + "vocab.txt",
-    "batch_size": 256, "n_epochs": 60, "dropout": 0.65, "clip": 5.0,
+    "batch_size": 256, "n_epochs": args.n_epochs, "dropout": args.dropout,
+    "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
 })
 vocab = Vocab(cfg)
@@ -49,7 +58,7 @@ def pipe(split, shuffle):
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
-trainer = Trainer(model, cfg, "results/im2latexSyn/")
+trainer = Trainer(model, cfg, args.out)
 lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=10**9, end_decay=2 * 10**9)
 t0 = time.time()
 best = trainer.train(train_pipe, val_pipe, lr)
@@ -60,5 +69,5 @@ test_pipe = build_cached_pipeline(
     id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=150,
     buckets=buckets, max_formula_len=151, length_bucket=32,
     target_batch_pixels=64 * 100 * 500)
-scores = trainer.evaluate(trainer._final_params, test_pipe, "results/im2latexSyn/formulas_test/")
+scores = trainer.evaluate(trainer._final_params, test_pipe, args.out + "formulas_test/")
 print("TEST:", json.dumps(scores), flush=True)

@@ -148,6 +148,52 @@ def test_serving_hardening():
         assert "closed" in str(e)
 
 
+def test_serving_per_model_quota():
+    """Requests over a model's QPS quota shed fast; the counter shows in
+    /metrics; quota for an unregistered model is rejected at construction."""
+    from latex_ocr_tpu.serving import LatexOCRServer
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    with pytest.raises(KeyError):
+        LatexOCRServer(model, params, buckets=[[96, 96]],
+                       quotas={"nope": 1.0}).close()
+
+    server = LatexOCRServer(
+        model, params, buckets=[[96, 96]], max_batch=4, max_wait_ms=5,
+        quotas={"default": 2.0},
+    )
+    try:
+        rng = np.random.default_rng(1)
+        img = rng.integers(0, 255, (40, 44, 1)).astype(np.uint8)
+        # burst capacity is max(1, qps) = 2 tokens; the third immediate
+        # submit must shed with a quota failure
+        futs = [server.submit(img) for _ in range(3)]
+        assert futs[2].done()
+        with pytest.raises(RuntimeError, match="quota exceeded"):
+            futs[2].result()
+        for f in futs[:2]:
+            assert isinstance(f.result(timeout=60), str)
+        assert "latexocr_quota_rejected_total 1" in server.metrics_text()
+        # the bucket refills at 2 tokens/s: after a wait a submit succeeds
+        import time as _time
+        _time.sleep(0.6)
+        assert isinstance(server.submit(img).result(timeout=60), str)
+    finally:
+        server.close()
+
+
 def test_serving_multi_model_routing():
     """Two registered models behind one server: per-request routing picks
     the right params, warmup compiles programs for both, unknown names
