@@ -215,16 +215,17 @@ class Img2SeqModel:
 
     def _beam(self, dec_params: Dict, feat: jnp.ndarray):
         """Beam search: megakernel on TPU (73x over the XLA loop at K=2),
-        XLA while_loop elsewhere or when the diversity penalty is on (the
-        kernel does not implement it)."""
-        use_div = (self.div_gamma != 1.0) and (self.div_prob > 0.0)
-        if self.use_megakernel and not use_div:
+        XLA while_loop elsewhere. The megakernel handles the deterministic
+        diversity penalty in-kernel and falls back to the XLA loop itself
+        for the stochastic (div_prob < 1) variant."""
+        if self.use_megakernel:
             from ..ops.decoder_kernel import decode_beam_megakernel
 
             return decode_beam_megakernel(
                 dec_params, feat, self.max_length, self.id_end,
                 self.beam_size, length_norm_alpha=self.length_norm_alpha,
                 fallback_use_pallas=self.use_pallas,
+                div_gamma=self.div_gamma, div_prob=self.div_prob,
             )
         return decode_beam(
             dec_params, feat, self.max_length, self.id_end,

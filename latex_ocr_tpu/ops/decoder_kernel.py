@@ -42,6 +42,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -337,6 +338,7 @@ def _beam_kernel(
     T: int,
     K: int,
     id_end: int,
+    div_log_gamma: float = 0.0,
 ):
     """Full beam search, T steps in one kernel instance.
 
@@ -486,6 +488,28 @@ def _beam_kernel(
         step_logp = jnp.where(finished > 0, end_row, step_logp)
         total = log_probs + step_logp  # (BK, V)
 
+        if div_log_gamma != 0.0:
+            # Deterministic intra-beam diversity penalty (Li et al. 2016,
+            # reference config div_gamma with div_prob=1): rank-r entry of
+            # each row gets + log(gamma)*r. For gamma < 1 the penalty is
+            # strictly decreasing in rank, so within-row order is
+            # preserved and only each row's top-K entries can ever win
+            # the global (K, V) top-K — extract exactly those K with
+            # iterative argmax (ties -> lowest token, matching argsort
+            # rank order) and mask the rest to NEG. Exact vs the XLA
+            # _div_penalty path; gamma >= 1 callers use the XLA loop.
+            pen = total
+            penalized = jnp.full_like(total, NEG)
+            for j in range(K):
+                token_j = jnp.argmax(pen, axis=-1, keepdims=True).astype(jnp.int32)
+                rowmax_j = jnp.max(pen, axis=-1, keepdims=True)
+                hit_j = col_iota_V == token_j
+                penalized = jnp.where(
+                    hit_j, rowmax_j + jnp.float32(div_log_gamma) * j, penalized
+                )
+                pen = jnp.where(hit_j, NEG, pen)
+            total = penalized
+
         # top-K over each group's (K, V) grid: K iterations of segment
         # argmax, all on full (BK, ·) tensors (sub-8-sublane slices and
         # tiny matmuls mis-lower on this toolchain). Tie-breaking matches
@@ -575,7 +599,7 @@ def _beam_kernel(
     static_argnames=(
         "max_length", "id_end", "beam_size", "length_norm_alpha", "block_b",
         "interpret",
-        "fallback_use_pallas",
+        "fallback_use_pallas", "div_gamma", "div_prob",
     ),
 )
 def decode_beam_megakernel(
@@ -588,23 +612,35 @@ def decode_beam_megakernel(
     block_b: int | None = None,
     interpret: bool = False,
     fallback_use_pallas: bool = False,
+    div_gamma: float = 1.0,
+    div_prob: float = 0.0,
 ):
     """Beam search with the whole T-loop in one Pallas kernel.
 
-    Returns a BeamOutput matching `decode_beam` (no diversity penalty —
-    callers with div enabled use the XLA path). The kernel emits raw
-    (ids, parents, log_probs, lengths) buffers; length normalization and
-    parent backtracking reuse models/decoding.py finalize_beams.
+    Returns a BeamOutput matching `decode_beam`. The deterministic
+    diversity penalty (div_prob >= 1, 0 < div_gamma < 1) runs inside the
+    kernel; the stochastic (Bernoulli-masked) or gamma >= 1 variants fall
+    back to the XLA loop, whose random stream a kernel cannot reproduce.
+    The kernel emits raw (ids, parents, log_probs, lengths) buffers;
+    length normalization and parent backtracking reuse
+    models/decoding.py finalize_beams.
     """
     from ..models.decoder import compute_att_img, flatten_regions, initial_state
     from ..models.decoding import decode_beam, finalize_beams
 
     K = beam_size
-    if "gate" in dec_params:
+    use_div = (div_gamma != 1.0) and (div_prob > 0.0)
+    div_kernel_ok = use_div and div_prob >= 1.0 and 0.0 < div_gamma < 1.0
+
+    def _fallback():
         return decode_beam(
             dec_params, img_feat, max_length, id_end, K,
+            div_gamma=div_gamma, div_prob=div_prob,
             length_norm_alpha=length_norm_alpha, use_pallas=fallback_use_pallas,
         )
+
+    if "gate" in dec_params or (use_div and not div_kernel_ok):
+        return _fallback()
 
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -613,10 +649,7 @@ def decode_beam_megakernel(
     if block_b is None:
         block_b = _auto_block_b(R, att_img.shape[-1], C, regions.dtype.itemsize)
         if block_b == 0:
-            return decode_beam(
-                dec_params, img_feat, max_length, id_end, K,
-                length_norm_alpha=length_norm_alpha, use_pallas=fallback_use_pallas,
-            )
+            return _fallback()
         # the top-k permutation matmuls scale with (Bb*K)^2 — measured
         # sweet spot is Bb*K around 64-128 (bf16, R=184: K=2 best at
         # Bb=32-64, K=5 best at Bb=16-24)
@@ -638,7 +671,10 @@ def decode_beam_megakernel(
     out = dec_params["out"]
     T = max_length
 
-    kernel = functools.partial(_beam_kernel, T=T, K=K, id_end=id_end)
+    kernel = functools.partial(
+        _beam_kernel, T=T, K=K, id_end=id_end,
+        div_log_gamma=float(np.log(div_gamma)) if div_kernel_ok else 0.0,
+    )
 
     ids_tb, parents_tb, lp, lens = pl.pallas_call(
         kernel,

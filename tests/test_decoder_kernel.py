@@ -41,3 +41,37 @@ def test_beam_megakernel_matches_decode_beam_interpret():
             np.asarray(ref.log_probs), np.asarray(mega.log_probs),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_beam_megakernel_div_penalty_matches_xla():
+    """Deterministic diversity penalty (div_prob=1, gamma<1) runs inside
+    the kernel and matches the XLA _div_penalty path exactly: ids, scores,
+    and the accumulated (penalized) log-probs."""
+    from latex_ocr_tpu.models.decoding import decode_beam
+    from latex_ocr_tpu.ops.decoder_kernel import decode_beam_megakernel
+
+    cfg = Config({"attn_cell_config": {"cell_type": "lstm", "num_units": 16,
+                                        "dim_e": 8, "dim_o": 16, "dim_embeddings": 8}})
+    dec = init_decoder_params(jax.random.PRNGKey(1), cfg, n_tok=11, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(3), (5, 2, 4, 512), jnp.float32)
+    for gamma in (0.5, 0.9):
+        ref = decode_beam(dec, feat, 7, 10, beam_size=3,
+                          div_gamma=gamma, div_prob=1.0)
+        mega = decode_beam_megakernel(
+            dec, feat, 7, 10, beam_size=3, div_gamma=gamma, div_prob=1.0,
+            block_b=4, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+        np.testing.assert_allclose(np.asarray(ref.log_probs),
+                                   np.asarray(mega.log_probs),
+                                   rtol=2e-5, atol=2e-5)
+
+    # the stochastic variant (div_prob < 1) cannot reproduce the XLA
+    # random stream in-kernel: the wrapper must fall back to the XLA loop
+    ref = decode_beam(dec, feat, 7, 10, beam_size=3,
+                      div_gamma=0.5, div_prob=0.5)
+    mega = decode_beam_megakernel(
+        dec, feat, 7, 10, beam_size=3, div_gamma=0.5, div_prob=0.5,
+        block_b=4, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
