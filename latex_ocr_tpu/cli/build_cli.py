@@ -10,7 +10,7 @@ from __future__ import annotations
 import click
 
 from ..data.generator import DataGenerator
-from ..data.vocab import build_vocab, write_vocab
+from ..data.vocab import build_vocab, pad_vocab, write_vocab
 from ..utils import Config
 
 
@@ -41,6 +41,10 @@ def main(data: str, vocab: str) -> None:
         path_matching=data_config.path_matching_train,
     )
     tokens = build_vocab([train], min_count=vocab_config.min_count_tok)
+    # optional TPU-first alignment: pad with reserved tokens so the model
+    # vocab (file + 3 specials) hits a lane-aligned size and compiled
+    # program shapes survive dataset rebuilds (see data/vocab.py:pad_vocab)
+    tokens = pad_vocab(tokens, getattr(vocab_config, "pad_multiple", 1))
     write_vocab(tokens, vocab_config.path_vocab)
 
 

@@ -2,6 +2,7 @@ from .vocab import (
     Vocab,
     build_vocab,
     build_vocab_from_file,
+    pad_vocab,
     get_form_prepro,
     load_formulas,
     load_tok_to_id,
@@ -26,6 +27,7 @@ __all__ = [
     "Vocab",
     "build_vocab",
     "build_vocab_from_file",
+    "pad_vocab",
     "crop_image",
     "downsample",
     "downsample_image",

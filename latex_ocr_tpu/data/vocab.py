@@ -79,6 +79,29 @@ def build_vocab_from_file(file_paths: Sequence[str], min_count: int = 10) -> Lis
     return sorted(vocab)
 
 
+def pad_vocab(vocab: Sequence[str], multiple: int, n_special: int = 3) -> List[str]:
+    """Pad with reserved never-emitted tokens so the final model vocab
+    (file tokens + ``n_special`` appended specials) is a multiple of
+    ``multiple``.
+
+    TPU-first rationale: the decoder's logits matmul and the decode
+    megakernels carry a (…, V) lane axis — aligning V to the 128-lane
+    tile avoids a ragged last tile on the MXU, and (more operationally)
+    keeps every compiled program's shape stable across dataset rebuilds
+    whose raw token counts wobble, so the persistent compile cache stays
+    warm. Reserved tokens are ordinary classes with zero training
+    occurrences; the softmax drives their probability down like any
+    unseen token.
+    """
+    if multiple <= 1:
+        return list(vocab)
+    total = len(vocab) + n_special
+    pad = (-total) % multiple
+    reserved = [f"_RSV{i}" for i in range(pad)]
+    assert not set(reserved) & set(vocab), "reserved token name collision"
+    return list(vocab) + reserved
+
+
 def write_vocab(vocab: Sequence[str], filename: str) -> None:
     """One token per line, no trailing newline after the last token."""
     with open(filename, "w") as f:

@@ -65,7 +65,7 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
-    from latex_ocr_tpu.data.vocab import write_vocab
+    from latex_ocr_tpu.data.vocab import pad_vocab, write_vocab
 
     src_val = os.path.join(source, "val.formulas.norm.txt")
     src_test = os.path.join(source, "test.formulas.norm.txt")
@@ -156,8 +156,11 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
     for f in train_formulas:
         counter.update(f.split())
     vocab = sorted(tok for tok, c in counter.items() if c >= 10)
+    # lane-align V and keep compiled shapes stable across rebuilds whose
+    # raw token counts wobble (data/vocab.py:pad_vocab)
+    vocab = pad_vocab(vocab, 128)
     write_vocab(vocab, os.path.join(out, "vocab.txt"))
-    click.echo(f"vocab: {len(vocab)} tokens (min_count=10)")
+    click.echo(f"vocab: {len(vocab)} tokens (min_count=10, padded to 128-lane)")
 
     with open(os.path.join(out, "buckets.json"), "w") as f:
         json.dump(BUCKETS, f)

@@ -230,3 +230,18 @@ def test_build_vocab_from_file_char_level(tmp_path):
     # char counts: a=4, b=2, c=1
     assert build_vocab_from_file([str(p)], min_count=2) == ["a", "b"]
     assert build_vocab_from_file([str(p)], min_count=5) == []
+
+
+def test_pad_vocab_lane_alignment():
+    """pad_vocab pads with reserved tokens so file tokens + 3 specials hit
+    the requested multiple; multiple<=1 is a no-op; already-aligned stays."""
+    from latex_ocr_tpu.data.vocab import pad_vocab
+
+    base = [f"t{i}" for i in range(335)]
+    padded = pad_vocab(base, 128)
+    assert (len(padded) + 3) % 128 == 0
+    assert padded[: len(base)] == base  # ids of real tokens unchanged
+    assert all(t.startswith("_RSV") for t in padded[len(base):])
+    assert pad_vocab(base, 1) == base
+    aligned = [f"t{i}" for i in range(125)]  # 125 + 3 == 128
+    assert pad_vocab(aligned, 128) == aligned
