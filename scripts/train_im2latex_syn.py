@@ -24,6 +24,15 @@ ap.add_argument("--out", default="results/im2latexSyn/")
 ap.add_argument("--dropout", type=float, default=0.65,
                 help="keep probability (TF semantics, reference model.json)")
 ap.add_argument("--n-epochs", type=int, default=60)
+ap.add_argument("--batch-size", type=int, default=256)
+ap.add_argument("--max-length", type=int, default=150)
+ap.add_argument("--lr-init", type=float, default=5e-4)
+ap.add_argument("--lr-min", type=float, default=5e-5)
+ap.add_argument("--warm-start", default=None,
+                help="results dir of a donor run; params-only transfer via "
+                     "Trainer init_params (curriculum: ground attention on "
+                     "short uniform-token formulas, then transfer — the "
+                     "synthEZ->synth50k recipe)")
 args = ap.parse_args()
 
 base = args.data_dir.rstrip("/") + "/"
@@ -34,10 +43,11 @@ cfg = Config({
     "attn_cell_config": {"cell_type": "lstm", "num_units": 512, "dim_e": 256,
                           "dim_o": 512, "dim_embeddings": 80},
     "decoding": "greedy", "beam_size": 2, "div_gamma": 1, "div_prob": 0,
-    "max_length_formula": 150,
+    "max_length_formula": args.max_length,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
     "path_vocab": base + "vocab.txt",
-    "batch_size": 256, "n_epochs": args.n_epochs, "dropout": args.dropout,
+    "batch_size": args.batch_size, "n_epochs": args.n_epochs,
+    "dropout": args.dropout,
     "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
 })
@@ -48,26 +58,36 @@ def pipe(split, shuffle):
     return build_cached_pipeline(
         base + f"{split}.formulas.norm.txt", base + f"images_{split}/",
         base + f"{split}.matching.txt", vocab.form_prepro,
-        base + f"cache_{split}", batch_size=256,
-        id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=150,
-        buckets=buckets, max_formula_len=151, length_bucket=32,
+        base + f"cache_{split}", batch_size=args.batch_size,
+        id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=args.max_length,
+        buckets=buckets, max_formula_len=args.max_length + 1, length_bucket=32,
         shuffle_seed=0 if shuffle else None,
         target_batch_pixels=64 * 100 * 500,
         device_resident="auto" if split == "train" else False)
+
+init_params = None
+if args.warm_start:
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+    donor = model.init_params(jax.random.PRNGKey(0))
+    init_params = CheckpointManager(
+        args.warm_start.rstrip("/") + "/model_weights"
+    ).restore_params(donor, required=True)
+    print(f"warm start from {args.warm_start}", flush=True)
 
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, args.out)
-lr = LRSchedule(lr_init=5e-4, lr_min=5e-5, start_decay=10**9, end_decay=2 * 10**9)
+lr = LRSchedule(lr_init=args.lr_init, lr_min=args.lr_min,
+                start_decay=10**9, end_decay=2 * 10**9)
 t0 = time.time()
-best = trainer.train(train_pipe, val_pipe, lr)
+best = trainer.train(train_pipe, val_pipe, lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
 test_pipe = build_cached_pipeline(
     base + "test.formulas.norm.txt", base + "images_test/", base + "test.matching.txt",
-    vocab.form_prepro, base + "cache_test", batch_size=256,
-    id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=150,
-    buckets=buckets, max_formula_len=151, length_bucket=32,
+    vocab.form_prepro, base + "cache_test", batch_size=args.batch_size,
+    id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=args.max_length,
+    buckets=buckets, max_formula_len=args.max_length + 1, length_bucket=32,
     target_batch_pixels=64 * 100 * 500)
 scores = trainer.evaluate(trainer._final_params, test_pipe, args.out + "formulas_test/")
 print("TEST:", json.dumps(scores), flush=True)
