@@ -22,7 +22,7 @@ from ..utils import Config
 @click.command()
 @click.option("--results", default="results/small/")
 def main(results: str) -> None:
-    config = Config(os.path.join(results, "data.json"))
+    config = Config.from_run_dir(results, parts=("data.json",))
     dir_answers = os.path.join(results, "formulas_test/")
 
     formulas_ref = load_formulas(os.path.join(dir_answers, "ref.txt"))

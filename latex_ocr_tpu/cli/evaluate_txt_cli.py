@@ -23,13 +23,7 @@ def main(results: str, batch_size: int) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
-    config = Config(
-        [
-            os.path.join(results, "data.json"),
-            os.path.join(results, "vocab.json"),
-            os.path.join(results, "model.json"),
-        ]
-    )
+    config = Config.from_run_dir(results)
     config.batch_size = batch_size
     vocab = make_vocab(config)
 

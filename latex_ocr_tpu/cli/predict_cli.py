@@ -49,9 +49,7 @@ def _pdf_to_png(path: str) -> str:
 def load_model(results: str):
     import jax
 
-    config = Config(
-        [os.path.join(results, "vocab.json"), os.path.join(results, "model.json")]
-    )
+    config = Config.from_run_dir(results, parts=("vocab.json", "model.json"))
     vocab = make_vocab(config)
 
     from ..models.img2seq import Img2SeqModel

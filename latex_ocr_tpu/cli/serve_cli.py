@@ -51,10 +51,11 @@ def main(results: str, extra_models, image_dir: str, qps: float, duration: float
                 f"duplicate model name {name!r} ('default' is the --results model)"
             )
         models[name] = load_model(rdir)
-    data_cfg_path = os.path.join(results, "data.json")
     buckets = None
-    if os.path.exists(data_cfg_path):
-        buckets = Config(data_cfg_path).get("buckets")
+    if os.path.exists(os.path.join(results, "data.json")) or os.path.exists(
+        os.path.join(results, "config.json")
+    ):
+        buckets = Config.from_run_dir(results, parts=("data.json",)).get("buckets")
 
     raw = [
         read_img(os.path.join(image_dir, f))

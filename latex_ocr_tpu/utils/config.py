@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, List, Union
+from typing import Any, Dict, List, Sequence, Union
 
 
 Source = Union[str, dict, List[Union[str, dict]]]
@@ -59,6 +59,22 @@ class Config:
         return {k: v for k, v in self.__dict__.items() if k != "source"}
 
     # -- snapshotting ---------------------------------------------------------------
+    @classmethod
+    def from_run_dir(cls, results: str, parts: Sequence[str] = ("data.json", "vocab.json", "model.json")) -> "Config":
+        """Load a trained run's snapshotted config.
+
+        CLI-trained runs snapshot the 4-JSON composition under each file's
+        ``export_name`` (``data.json``/``vocab.json``/``model.json``);
+        script/API-trained runs snapshot their single dict source as
+        ``config.json``. Accept either so every CLI (evaluate/predict/
+        serve/visualize) restores both kinds of run.
+        """
+        single = os.path.join(results, "config.json")
+        paths = [os.path.join(results, p) for p in parts]
+        if not all(os.path.exists(p) for p in paths) and os.path.exists(single):
+            return cls(single)
+        return cls(paths)
+
     def save(self, dir_name: str) -> None:
         """Snapshot config sources into ``dir_name``.
 

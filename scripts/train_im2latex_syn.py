@@ -50,8 +50,15 @@ cfg = Config({
     "dropout": args.dropout,
     "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
+    # dataset paths: snapshotted (Config.save -> config.json) so the
+    # evaluate_txt/evaluate_img/predict/serve CLIs can restore this run
+    # exactly like a CLI-trained one (Config.from_run_dir fallback)
+    **{f"path_formulas_{s}": base + f"{s}.formulas.norm.txt" for s in ("train", "val", "test")},
+    **{f"dir_images_{s}": base + f"images_{s}/" for s in ("train", "val", "test")},
+    **{f"path_matching_{s}": base + f"{s}.matching.txt" for s in ("train", "val", "test")},
 })
 vocab = Vocab(cfg)
+cfg.save(args.out)
 model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 
 def pipe(split, shuffle):

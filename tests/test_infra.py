@@ -245,3 +245,28 @@ def test_pad_vocab_lane_alignment():
     assert pad_vocab(base, 1) == base
     aligned = [f"t{i}" for i in range(125)]  # 125 + 3 == 128
     assert pad_vocab(aligned, 128) == aligned
+
+
+def test_config_from_run_dir_fallback(tmp_path):
+    """CLI-trained runs restore from data/vocab/model.json; script-trained
+    runs (single dict source snapshotted as config.json) restore via the
+    fallback; the 3-file layout wins when both exist."""
+    import json
+
+    from latex_ocr_tpu.utils import Config
+
+    run = tmp_path / "run"
+    run.mkdir()
+    (run / "config.json").write_text(json.dumps({"a": 1, "batch_size": 9}))
+    cfg = Config.from_run_dir(str(run))
+    assert cfg.a == 1 and cfg.batch_size == 9
+
+    for name, body in (("data.json", {"a": 2}), ("vocab.json", {"b": 3}),
+                       ("model.json", {"c": 4})):
+        (run / name).write_text(json.dumps(body))
+    cfg = Config.from_run_dir(str(run))
+    assert (cfg.a, cfg.b, cfg.c) == (2, 3, 4)
+
+    # partial subset requests work on the dict snapshot too
+    cfg = Config.from_run_dir(str(run), parts=("vocab.json", "model.json"))
+    assert cfg.b == 3 and cfg.c == 4
