@@ -1,0 +1,57 @@
+#!/bin/bash
+# Full im2latexSyn curriculum: REAL im2latex formulas (read at runtime from
+# the upstream checkout), synthetic raster, attention grounded by a
+# three-phase curriculum (docs/design.md §14 for why cold-start fails).
+#
+#   A0  ground attention:   uniform-random tokens over the real 336 vocab,
+#                           len<=11 (synthEZ recipe: batch 64, lr 1e-3)
+#   A1  stretch to width:   uniform tokens len 3-110, full 12-bucket table
+#   B   real distribution:  real formulas + shuffle augmentation
+#
+# ~80 min end-to-end on one v5e chip (incl. dataset builds + uploads).
+set -e
+cd "$(dirname "$0")/.."
+
+python scripts/build_im2latex_syn.py --out data/im2latexSyn \
+    --augment-ngram 24000 --augment-mode shuffle
+
+python - <<'EOF'
+import json
+import shutil
+
+from latex_ocr_tpu.data.synthetic import make_synthetic_dataset
+
+# sample phase formulas from the REAL tokens only, but copy the canonical
+# (padded) vocab file VERBATIM into each phase dataset: warm-starting
+# across phases requires identical token ids, and make_synthetic_dataset's
+# own sorted vocab would order the _RSV padding tokens differently
+vocab = [l.strip() for l in open("data/im2latexSyn/vocab.txt") if l.strip()
+         and not l.startswith("_RSV")]
+buckets = json.load(open("data/im2latexSyn/buckets.json"))
+ez = [[240, 100], [320, 80], [400, 100]]
+make_synthetic_dataset("data/im2latexEZ", n_train=20000, n_val=500, n_test=500,
+                       vocab_tokens=vocab, min_len=3, max_len=11, seed=11,
+                       buckets=ez, n_threads=8)
+json.dump(ez, open("data/im2latexEZ/buckets.json", "w"))
+make_synthetic_dataset("data/im2latexUni", n_train=30000, n_val=500, n_test=500,
+                       vocab_tokens=vocab, min_len=3, max_len=110, seed=7,
+                       buckets=buckets, n_threads=8)
+json.dump(buckets, open("data/im2latexUni/buckets.json", "w"))
+for d in ("data/im2latexEZ", "data/im2latexUni"):
+    shutil.copy("data/im2latexSyn/vocab.txt", d + "/vocab.txt")
+EOF
+
+python scripts/train_im2latex_syn.py --data-dir data/im2latexEZ \
+    --out results/im2latexEZ/ --dropout 1.0 --n-epochs 25 \
+    --batch-size 64 --max-length 11 --lr-init 1e-3 --lr-min 1e-4
+
+python scripts/train_im2latex_syn.py --data-dir data/im2latexUni \
+    --out results/im2latexUni/ --dropout 1.0 --n-epochs 20 \
+    --max-length 110 --warm-start results/im2latexEZ
+
+python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
+    --out results/im2latexSyn/ --dropout 1.0 --n-epochs 60 \
+    --warm-start results/im2latexUni
+
+python scripts/sweep_beam_alpha.py --results results/im2latexSyn \
+    --data data/im2latexSyn --max-len 150
