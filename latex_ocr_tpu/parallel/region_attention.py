@@ -1,0 +1,78 @@
+"""Sequence-parallel attention: shard the image-region axis across chips.
+
+SURVEY.md §2.3 (SP/CP row): the reference's attention runs over image
+regions (R = H'·W' after the CNN's /8 reduction, up to ~7k for the widest
+buckets) on one device (reference model/components/attention_mechanism.py:31).
+For very large buckets on small-HBM chips, the TPU-native scale-out is to
+shard R across the mesh and reassemble the softmax with collectives —
+the blockwise/ring-attention recipe specialized to one query per step:
+
+  - each chip holds a (B, R/n, ·) shard of ``att_img``/``regions``
+  - local scores + a 3-collective online softmax: psum-max (stability),
+    psum of exp-sums (denominator), psum of the locally-weighted context
+    (numerator). All three ride ICI; no chip ever materializes full-R.
+
+Numerics match the unsharded ``models/decoder.py:attention_context``
+exactly in fp32 (same max-subtracted softmax; addition reassociation only).
+
+This module is exercised on the 8-device CPU mesh in tests
+(tests/test_parallel.py) — the same virtual-mesh contract the DP path
+uses (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def region_sharding(mesh: Mesh, axis_name: str = "region") -> NamedSharding:
+    """Shard axis 1 (the region axis of (B, R, ·) tensors) over the mesh."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
+def attention_context_region_sharded(
+    dec_params: Dict,
+    att_img: jnp.ndarray,  # (B, R, dim_e), R sharded over the mesh
+    regions: jnp.ndarray,  # (B, R, C), R sharded over the mesh
+    h: jnp.ndarray,  # (B, num_units), replicated
+    mesh: Mesh,
+    axis_name: str = "region",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bahdanau attention with the region axis sharded across ``mesh``.
+
+    Returns (context (B, C) replicated, weights (B, R) region-sharded) —
+    the same contract as the unsharded attention_context.
+    """
+    att = dec_params["att"]
+    h_w = att["h_w"]
+    beta = att["beta"]
+
+    def local(att_img_s, regions_s, h_r, h_w_r, beta_r):
+        # att_img_s/regions_s: (B, R/n, ·) local shards
+        att_h = h_r @ h_w_r.astype(h_r.dtype)  # (B, dim_e)
+        e = jnp.tanh(att_img_s + att_h[:, None, :])
+        scores = (e @ beta_r.astype(e.dtype)).astype(jnp.float32)  # (B, R/n)
+        # online softmax across shards: global max, then exp-sum + weighted
+        # context as psums — no full-R tensor on any chip
+        m = jax.lax.pmax(jnp.max(scores, axis=-1), axis_name)  # (B,)
+        ex = jnp.exp(scores - m[:, None])  # (B, R/n)
+        denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis_name)  # (B,)
+        a = (ex / denom[:, None]).astype(regions_s.dtype)  # (B, R/n)
+        ctx = jax.lax.psum(
+            jnp.einsum("br,brc->bc", a.astype(jnp.float32),
+                       regions_s.astype(jnp.float32)),
+            axis_name,
+        )
+        return ctx.astype(regions_s.dtype), a
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis_name), P(None, axis_name), P(), P(), P()),
+        out_specs=(P(), P(None, axis_name)),
+    )(att_img, regions, h, h_w, beta)

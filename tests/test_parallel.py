@@ -171,3 +171,41 @@ def test_dp_grads_match_single_device(mesh):
     l2 = jax.tree_util.tree_leaves(p2)
     for a, b in zip(l1, l2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_region_sharded_attention_matches_unsharded():
+    """SP over the region axis (SURVEY §2.3 SP row): attention with R
+    sharded across an 8-device mesh + online-softmax collectives equals
+    the single-device attention_context in fp32."""
+    from latex_ocr_tpu.models.decoder import attention_context, init_decoder_params
+    from latex_ocr_tpu.parallel.mesh import make_mesh
+    from latex_ocr_tpu.parallel.region_attention import (
+        attention_context_region_sharded,
+        region_sharding,
+    )
+    from latex_ocr_tpu.utils import Config
+
+    cfg = Config({"attn_cell_config": {"cell_type": "lstm", "num_units": 32,
+                                        "dim_e": 16, "dim_o": 32,
+                                        "dim_embeddings": 8}})
+    dec = init_decoder_params(jax.random.PRNGKey(0), cfg, n_tok=11, n_channels=64)
+    B, R, C = 4, 64, 64  # R divisible by the 8-way mesh
+    regions = jax.random.normal(jax.random.PRNGKey(1), (B, R, C), jnp.float32)
+    att_img = regions @ dec["att"]["img_w"]
+    h = jax.random.normal(jax.random.PRNGKey(2), (B, 32), jnp.float32)
+
+    ref_ctx, ref_a = attention_context(dec, att_img, regions, h)
+
+    mesh = make_mesh(jax.devices()[:8], axis_name="region")
+    sh = region_sharding(mesh)
+    att_img_s = jax.device_put(att_img, sh)
+    regions_s = jax.device_put(regions, sh)
+    ctx, a = attention_context_region_sharded(dec, att_img_s, regions_s, h, mesh)
+
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ref_ctx),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref_a),
+                               rtol=2e-5, atol=2e-5)
+    # the weights stay region-sharded; no device holds the full R axis
+    shard_shapes = {s.data.shape for s in a.addressable_shards}
+    assert shard_shapes == {(B, R // 8)}
