@@ -53,5 +53,12 @@ python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
     --out results/im2latexSyn/ --dropout 1.0 --n-epochs 60 \
     --warm-start results/im2latexUni
 
-python scripts/sweep_beam_alpha.py --results results/im2latexSyn \
+# C: lr-decay polish (constant-lr training oscillates around EM ~90-95;
+# a 14-epoch 2e-4 -> 2e-5 decay lands it at EM ~97)
+python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
+    --out results/im2latexSynFinal/ --dropout 1.0 --n-epochs 14 \
+    --warm-start results/im2latexSyn --lr-init 2e-4 --lr-min 2e-5 \
+    --start-decay 1126 --end-decay 6756
+
+python scripts/sweep_beam_alpha.py --results results/im2latexSynFinal \
     --data data/im2latexSyn --max-len 150

@@ -28,6 +28,10 @@ ap.add_argument("--batch-size", type=int, default=256)
 ap.add_argument("--max-length", type=int, default=150)
 ap.add_argument("--lr-init", type=float, default=5e-4)
 ap.add_argument("--lr-min", type=float, default=5e-5)
+ap.add_argument("--start-decay", type=int, default=10**9,
+                help="global step at which exponential decay toward lr-min "
+                     "begins (default: never — constant lr)")
+ap.add_argument("--end-decay", type=int, default=2 * 10**9)
 ap.add_argument("--warm-start", default=None,
                 help="results dir of a donor run; params-only transfer via "
                      "Trainer init_params (curriculum: ground attention on "
@@ -86,7 +90,7 @@ val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, args.out)
 lr = LRSchedule(lr_init=args.lr_init, lr_min=args.lr_min,
-                start_decay=10**9, end_decay=2 * 10**9)
+                start_decay=args.start_decay, end_decay=args.end_decay)
 t0 = time.time()
 best = trainer.train(train_pipe, val_pipe, lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
