@@ -24,7 +24,13 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main() -> None:
+def main(n_real_tokens: int = 500) -> None:
+    """``n_real_tokens`` defaults to 500 (the im2latex vocab scale, and the
+    round-1 bench workload — kept for round-over-round comparability).
+    Passing 509 (+3 specials = 512, what data/vocab.py:pad_vocab lane-aligns
+    to) measures identically within the tunneled chip's wobble: XLA already
+    pads the (dim_o, V) logits matmul to 512 lanes, so vocab lane alignment
+    is throughput-neutral on this model (A/B measured 2026-08-17)."""
     from latex_ocr_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -38,7 +44,7 @@ def main() -> None:
     B, H, W, T = 256, 50, 200, 64
 
     config = Config(dict(ge.FLAGSHIP_MODEL))
-    vocab = ge._make_vocab(500)
+    vocab = ge._make_vocab(n_real_tokens)
     model = Img2SeqModel(config, vocab, compute_dtype=jnp.bfloat16)
 
     rng = jax.random.PRNGKey(0)
@@ -106,4 +112,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
