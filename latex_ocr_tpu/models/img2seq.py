@@ -110,6 +110,45 @@ class Img2SeqModel:
         self.use_train_megakernel = bool(
             getattr(config, "use_train_megakernel", False)
         )
+        self._opt_spec = None
+        self._jit_key_cache = None
+
+    # ----------------------------------------------------- program sharing
+    def _jit_key(self):
+        """Value key for jit's static ``self`` argument.
+
+        The traced programs depend only on the (JSON-able) config, the
+        vocab's structural ids, the dtype policy, and the optimizer spec —
+        so two instances built from equal configs hash equal and share
+        every compiled program instead of recompiling per instance (the
+        reference pays one TF graph per process; identity keying made us
+        pay one XLA compile per *instance*). Computed lazily once: mutating
+        the config after the first traced call was already unsupported
+        under identity keying (the stale program would be reused) and
+        remains so.
+        """
+        if self._jit_key_cache is None:
+            import json as _json
+
+            self._jit_key_cache = (
+                _json.dumps(self.config.to_dict(), sort_keys=True, default=str),
+                self.n_tok,
+                self.id_end,
+                str(self.compute_dtype),
+                str(self.decoder_dtype),
+                self.use_pallas,
+                self.use_megakernel,
+                self.use_train_megakernel,
+            )
+        return self._jit_key_cache + (self._opt_spec,)
+
+    def __hash__(self):
+        return hash(self._jit_key())
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Img2SeqModel) and self._jit_key() == other._jit_key()
+        )
 
     # ------------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> Dict:
@@ -121,6 +160,9 @@ class Img2SeqModel:
 
     def init_optimizer(self, params: Dict, lr_method: str = "adam", clip: float = -1.0):
         self._tx = make_optimizer(lr_method, clip)
+        # part of the jit key: train_step traces through self._tx, so
+        # program sharing must distinguish (method, clip) pairs
+        self._opt_spec = (str(lr_method), float(clip))
         return self._tx.init(params)
 
     # ------------------------------------------------------------ forward

@@ -27,6 +27,15 @@ def main() -> None:
     # itself regardless, so pin the platform through the config too.
     jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compile cache: the worker's train-step compile dominates
+    # the parent test's wall-clock; warm runs load it in milliseconds.
+    from latex_ocr_tpu.utils.jax_setup import setup_jax
+
+    try:
+        setup_jax()
+    except OSError:
+        pass
+
     from latex_ocr_tpu.parallel.distributed import (
         global_batch_from_host_local,
         initialize_distributed,
