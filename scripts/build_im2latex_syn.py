@@ -50,6 +50,15 @@ BUCKETS = [
                    "memorization impossible at small corpus sizes while "
                    "keeping the token distribution real; eval splits stay "
                    "100% real formulas.")
+@click.option("--oov-inject", default=0.0,
+              help="Fraction of AUGMENTED lines that get 1-3 synthetic "
+                   "never-in-vocab tokens (each unique, so min_count keeps "
+                   "them out of the vocab; the raster draws each as a novel "
+                   "glyph and form_prepro labels them _UNK). Teaches the "
+                   "decoder the novelty->_UNK mapping: the natural corpus "
+                   "has too few OOV instances (~344 over 69 glyphs) for it "
+                   "to emerge, and ~1.4%% of real test formulas contain an "
+                   "OOV token - a measured EM ceiling without this.")
 @click.option("--augment-mode", default="trigram",
               type=click.Choice(["trigram", "shuffle"]),
               help="trigram: n-gram LM samples (real-looking grammar — but "
@@ -61,7 +70,7 @@ BUCKETS = [
                    "samples is to read the pixels (mirrors why the "
                    "random-token synth task grounds reliably).")
 def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
-         augment_mode):
+         oov_inject, augment_mode):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
@@ -124,6 +133,12 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                     else:
                         nxt = str(rng.choice(uni_toks, p=uni_p))
                     toks.append(nxt)
+            if oov_inject and rng.random() < oov_inject:
+                for j in range(int(rng.integers(1, 4))):
+                    pos = int(rng.integers(0, len(toks)))
+                    toks[pos] = (
+                        f"oov{len(sampled)}_{j}_{int(rng.integers(0, 1 << 20)):05x}"
+                    )
             f = " ".join(toks)
             if f not in seen:  # unique, and never a real eval formula
                 seen.add(f)
