@@ -7,8 +7,12 @@
 #                           len<=11 (synthEZ recipe: batch 64, lr 1e-3)
 #   A1  stretch to width:   uniform tokens len 3-110, full 12-bucket table
 #   B   real distribution:  real formulas + shuffle augmentation
+#   C   lr-decay polish:    constant-lr training oscillates; decay lands it
+#   D   OOV fine-tune:      --oov-inject teaches the novelty->_UNK mapping
+#                           (1.4% of real test formulas carry an OOV token —
+#                           a measured EM ceiling without this phase)
 #
-# ~80 min end-to-end on one v5e chip (incl. dataset builds + uploads).
+# ~95 min end-to-end on one v5e chip (incl. dataset builds + uploads).
 set -e
 cd "$(dirname "$0")/.."
 
@@ -60,5 +64,18 @@ python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
     --warm-start results/im2latexSyn --lr-init 2e-4 --lr-min 2e-5 \
     --start-decay 1126 --end-decay 6756
 
-python scripts/sweep_beam_alpha.py --results results/im2latexSynFinal \
-    --data data/im2latexSyn --max-len 150
+# D: OOV fine-tune — 30% of augmented lines get 1-3 unique never-in-vocab
+# tokens, each rendered as a novel glyph that form_prepro labels _UNK.
+# The vocab is copied VERBATIM from phase B/C (identical token ids for the
+# warm start; the unique OOV tokens stay below min_count by construction).
+# Measured: OOV-line test EM 3/21 -> 13/21, net test EM 97.33 -> 97.53.
+python scripts/build_im2latex_syn.py --out data/im2latexSynOOV \
+    --augment-ngram 24000 --augment-mode shuffle --oov-inject 0.3
+cp data/im2latexSyn/vocab.txt data/im2latexSynOOV/vocab.txt
+python scripts/train_im2latex_syn.py --data-dir data/im2latexSynOOV \
+    --out results/im2latexSynOOV/ --dropout 1.0 --n-epochs 12 \
+    --warm-start results/im2latexSynFinal --lr-init 1e-4 --lr-min 2e-5 \
+    --start-decay 1126 --end-decay 5630
+
+python scripts/sweep_beam_alpha.py --results results/im2latexSynOOV \
+    --data data/im2latexSynOOV --max-len 150
