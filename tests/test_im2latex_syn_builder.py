@@ -1,0 +1,103 @@
+"""Tests for scripts/build_im2latex_syn.py, especially --oov-inject.
+
+The builder reads REAL formula files (reference data layout:
+val.formulas.norm.txt as train source, test.formulas.norm.txt sliced into
+val/test) and renders them with the synthetic raster. --oov-inject places
+1-3 unique never-in-vocab tokens into a fraction of the augmented lines so
+the decoder can learn the novelty->_UNK mapping (reference text.py:26-40
+form_prepro semantics: any token outside the vocab maps to _UNK).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILDER = os.path.join(REPO, "scripts", "build_im2latex_syn.py")
+
+
+@pytest.fixture(scope="module")
+def built(tmp_path_factory):
+    """Run the builder once on a tiny corpus with every augmented line OOV."""
+    root = tmp_path_factory.mktemp("i2l_syn")
+    source = root / "source"
+    source.mkdir()
+    base_toks = ["a", "b", "c", "x", "y", "+", "-", "{", "}"]
+    # 40 train-source lines over a tiny vocab; every token clears min_count 10
+    lines = []
+    for i in range(40):
+        toks = [base_toks[(i + j) % len(base_toks)] for j in range(3 + i % 5)]
+        lines.append(" ".join(toks))
+    (source / "val.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+    (source / "test.formulas.norm.txt").write_text("\n".join(lines[::-1]) + "\n")
+
+    out = root / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, BUILDER,
+            "--source", str(source), "--out", str(out),
+            "--n-val", "4", "--n-test", "4", "--n-threads", "2",
+            "--augment-ngram", "20", "--augment-mode", "shuffle",
+            "--oov-inject", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return out
+
+
+def test_oov_tokens_injected_into_augmented_lines(built):
+    train = (built / "train.formulas.norm.txt").read_text().splitlines()
+    # 40 originals + up to 20 augmented (shuffle dedup may drop a few)
+    assert len(train) > 40
+    augmented = train[40:]
+    oov_lines = [l for l in augmented if any(t.startswith("oov") for t in l.split())]
+    assert len(oov_lines) == len(augmented)  # --oov-inject 1.0
+    for line in oov_lines:
+        n = sum(t.startswith("oov") for t in line.split())
+        assert 1 <= n <= 3
+
+
+def test_oov_tokens_are_unique_and_stay_out_of_vocab(built):
+    train = (built / "train.formulas.norm.txt").read_text().splitlines()
+    oov = [t for l in train for t in l.split() if t.startswith("oov")]
+    assert len(oov) == len(set(oov))  # unique => always below min_count
+    vocab = (built / "vocab.txt").read_text().split()
+    assert not any(t.startswith("oov") for t in vocab)
+    # lane alignment (pad_vocab to 128 with specials): reserved fillers present
+    assert any(t.startswith("_RSV") for t in vocab)
+
+
+def test_form_prepro_maps_injected_tokens_to_unk(built):
+    from latex_ocr_tpu.data.vocab import Vocab
+    from latex_ocr_tpu.utils import Config
+
+    cfg = Config({"path_vocab": str(built / "vocab.txt"), "min_count_tok": 1,
+                  "unk": "_UNK", "pad": "_PAD", "end": "_END"})
+    vocab = Vocab(cfg)
+    train = (built / "train.formulas.norm.txt").read_text().splitlines()
+    line = next(l for l in train if any(t.startswith("oov") for t in l.split()))
+    ids = vocab.form_prepro(line)
+    toks = line.split()
+    assert len(ids) == len(toks)
+    for tok, tid in zip(toks, ids):
+        if tok.startswith("oov"):
+            assert tid == vocab.id_unk
+        else:
+            assert tid != vocab.id_unk
+
+
+def test_oov_lines_render_and_reach_matching_file(built):
+    train = (built / "train.formulas.norm.txt").read_text().splitlines()
+    matching = (built / "train.matching.txt").read_text().splitlines()
+    rendered_ids = {int(l.split()[1]) for l in matching}
+    oov_ids = {i for i, l in enumerate(train)
+               if any(t.startswith("oov") for t in l.split())}
+    # novel glyphs must raster like any other token (none dropped for OOV-ness;
+    # over-wide lines are the only legitimate drop and these are all short)
+    assert oov_ids <= rendered_ids
+    for l in matching[:3]:
+        assert os.path.exists(built / "images_train" / l.split()[0])
