@@ -59,6 +59,13 @@ BUCKETS = [
                    "has too few OOV instances (~344 over 69 glyphs) for it "
                    "to emerge, and ~1.4%% of real test formulas contain an "
                    "OOV token - a measured EM ceiling without this.")
+@click.option("--rare-boost", default=0.0,
+              help="Oversample rare glyphs in shuffle augmentation: source "
+                   "lines are drawn with probability proportional to "
+                   "(1/min token count)^boost instead of uniformly. Rare "
+                   "in-vocab glyphs are the measured confusion source after "
+                   "OOV training (the decoder overcalls _UNK on glyphs it "
+                   "has seen too few times to tell from novel ones).")
 @click.option("--augment-mode", default="trigram",
               type=click.Choice(["trigram", "shuffle"]),
               help="trigram: n-gram LM samples (real-looking grammar — but "
@@ -70,7 +77,7 @@ BUCKETS = [
                    "samples is to read the pixels (mirrors why the "
                    "random-token synth task grounds reliably).")
 def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
-         oov_inject, augment_mode):
+         oov_inject, rare_boost, augment_mode):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
@@ -114,10 +121,29 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
         uni_p = np.array([uni[t] for t in uni_toks], np.float64)
         uni_p /= uni_p.sum()
         seen = set(train_formulas)
+        src_p = None
+        if rare_boost:
+            min_counts = np.array(
+                [min(uni[t] for t in f.split()) for f in train_formulas],
+                np.float64,
+            )
+            src_p = min_counts ** (-rare_boost)
+            src_p /= src_p.sum()
         sampled = []
+        attempts = 0
         while len(sampled) < augment_ngram:
+            attempts += 1
+            if attempts > 20 * augment_ngram + 1000:
+                # tiny corpora can exhaust the distinct-permutation space;
+                # ship what we have instead of spinning forever
+                click.echo(f"WARNING: augmentation saturated at {len(sampled)}/"
+                           f"{augment_ngram} unique samples; continuing")
+                break
             if augment_mode == "shuffle":
-                src = train_formulas[int(rng.integers(0, len(train_formulas)))]
+                if src_p is not None:
+                    src = train_formulas[int(rng.choice(len(train_formulas), p=src_p))]
+                else:
+                    src = train_formulas[int(rng.integers(0, len(train_formulas)))]
                 toks = list(rng.permutation(src.split()))
             else:
                 L = int(lengths[int(rng.integers(0, len(lengths)))])

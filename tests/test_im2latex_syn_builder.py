@@ -90,6 +90,43 @@ def test_form_prepro_maps_injected_tokens_to_unk(built):
             assert tid != vocab.id_unk
 
 
+def test_rare_boost_oversamples_rare_glyph_lines(tmp_path):
+    """With --rare-boost, shuffle-augmentation source lines are drawn
+    proportional to (1/min token count)^boost: lines holding the rarest
+    glyphs dominate the augmented set instead of appearing at base rate."""
+    source = tmp_path / "source"
+    source.mkdir()
+    base = ["a", "b", "c", "+", "x", "y", "{", "}"]
+    # varied 8-token lines -> permutation space far exceeds the 40 requested
+    common = [" ".join(base[(i + j) % len(base)] for j in range(8))
+              for i in range(39)]
+    rare_line = "a \\varpi b x y c + {"  # \varpi appears exactly once
+    lines = common + [rare_line]
+    (source / "val.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+    (source / "test.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, BUILDER,
+            "--source", str(source), "--out", str(out),
+            "--n-val", "2", "--n-test", "2", "--n-threads", "2",
+            "--augment-ngram", "40", "--augment-mode", "shuffle",
+            "--rare-boost", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    train = (out / "train.formulas.norm.txt").read_text().splitlines()
+    augmented = train[40:]
+    assert augmented
+    rare_rate = sum("\\varpi" in l.split() for l in augmented) / len(augmented)
+    # base rate is 1/40 = 2.5%; inverse-frequency weighting makes the rare
+    # line ~49% of draws ((1/1) vs 39*(1/39) weight mass)
+    assert rare_rate > 0.25, f"rare line rate {rare_rate:.2f} not boosted"
+
+
 def test_oov_lines_render_and_reach_matching_file(built):
     train = (built / "train.formulas.norm.txt").read_text().splitlines()
     matching = (built / "train.matching.txt").read_text().splitlines()
