@@ -68,9 +68,14 @@ python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
 # tokens, each rendered as a novel glyph that form_prepro labels _UNK.
 # The vocab is copied VERBATIM from phase B/C (identical token ids for the
 # warm start; the unique OOV tokens stay below min_count by construction).
-# Measured: OOV-line test EM 3/21 -> 13/21, net test EM 97.33 -> 97.53.
+# --rare-boost oversamples lines holding rare in-vocab glyphs (inverse
+# min-token-frequency): without it OOV training makes the decoder overcall
+# _UNK on glyphs seen too rarely to tell from novel ones (16 such misses;
+# rare-boost cuts them to 9). Measured: OOV-line test EM 3/21 -> 14/21,
+# net test EM 97.33 -> 97.87 greedy.
 python scripts/build_im2latex_syn.py --out data/im2latexSynOOV \
-    --augment-ngram 24000 --augment-mode shuffle --oov-inject 0.3
+    --augment-ngram 24000 --augment-mode shuffle --oov-inject 0.3 \
+    --rare-boost 1.0
 cp data/im2latexSyn/vocab.txt data/im2latexSynOOV/vocab.txt
 python scripts/train_im2latex_syn.py --data-dir data/im2latexSynOOV \
     --out results/im2latexSynOOV/ --dropout 1.0 --n-epochs 12 \
