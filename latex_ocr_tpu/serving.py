@@ -25,6 +25,15 @@ from .data.images import greyscale
 from .data.pipeline import snap_image_shape, stored_bucket_table
 
 
+class RequestTimeout(TimeoutError):
+    """Raised on a request future when it expires in the server queue.
+
+    Distinct from the builtin TimeoutError so a benchmark's own
+    ``Future.result(timeout=...)`` wait-timeout (a hung or dead serve
+    loop) is never mistaken for deliberate server-side load shedding.
+    """
+
+
 @dataclass
 class _Request:
     image: np.ndarray  # (H, W, 1) uint8
@@ -229,7 +238,7 @@ class LatexOCRServer:
                             ]
                             for r in expired:
                                 r.future.set_exception(
-                                    TimeoutError("request timed out in queue")
+                                    RequestTimeout("request timed out in queue")
                                 )
                     if reqs:
                         self._decode_batch(key, reqs, jnp)
@@ -358,8 +367,10 @@ def run_qps_benchmark(
     for f in futures:
         try:
             f.result(timeout=120)
-        except TimeoutError:
-            shed += 1  # queue timeout: shed load, not a benchmark failure
+        except RequestTimeout:
+            shed += 1  # server-side queue timeout: shed load by design
+        # NB: a bare TimeoutError here is the result() wait expiring — a
+        # hung or dead serve loop — and must fail the benchmark loudly
         except RuntimeError as e:
             # only the server's own backpressure/shutdown rejections count
             # as shed — jax's XlaRuntimeError also subclasses RuntimeError

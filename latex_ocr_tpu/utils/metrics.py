@@ -27,22 +27,34 @@ class MetricsWriter:
         self._f = open(self.path, "a", buffering=1)
         self._t0 = time.time()
         self._tb = None
-        if tensorboard:
+        # lazy: importing torch (the TF-free event writer lives there) costs
+        # seconds and hundreds of MB RSS on the 1-CPU build host — pay it on
+        # the first scalar write of a real training run, not at construction.
+        # LATEX_OCR_NO_TB=1 (set by the test conftest) disables it outright.
+        if os.environ.get("LATEX_OCR_NO_TB"):
+            tensorboard = False
+        self._tb_dir = os.path.join(dir_output, "tb") if tensorboard else None
+
+    def _tb_writer(self):
+        if self._tb_dir is not None and self._tb is None:
             try:  # torch ships a TF-free event writer in this image
                 from torch.utils.tensorboard import SummaryWriter
 
-                self._tb = SummaryWriter(os.path.join(dir_output, "tb"))
+                self._tb = SummaryWriter(self._tb_dir)
             except Exception:  # no backend available -> JSONL only
-                self._tb = None
+                pass
+            self._tb_dir = None
+        return self._tb
 
     def write(self, step: int, scalars: Dict[str, float], **tags) -> None:
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         rec.update({k: float(v) for k, v in scalars.items()})
         rec.update(tags)
         self._f.write(json.dumps(rec) + "\n")
-        if self._tb is not None:
+        tb = self._tb_writer()
+        if tb is not None:
             for k, v in scalars.items():
-                self._tb.add_scalar(k, float(v), int(step))
+                tb.add_scalar(k, float(v), int(step))
 
     def close(self) -> None:
         self._f.close()

@@ -55,15 +55,18 @@ def main(results, data_dir, hw_data, max_len, duration, max_batch):
 
     results = results.rstrip("/") + "/"
     data_dir = data_dir.rstrip("/") + "/"
-    buckets = [[240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
-               [720, 120], [800, 100], [1000, 200]]
+    # restore the run's snapshotted config (model dims, encoder variant,
+    # bucket table) so a non-flagship run serves with the shape it trained on
+    base = Config.from_run_dir(results).to_dict()
+    buckets = base.get("buckets") or [
+        [240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
+        [720, 120], [800, 100], [1000, 200]]
     cfg = Config({
-        "encoder_cnn": "vanilla", "positional_embeddings": True,
-        "attn_cell_config": {"cell_type": "lstm", "num_units": 512, "dim_e": 256,
-                              "dim_o": 512, "dim_embeddings": 80},
-        "decoding": "greedy", "beam_size": 2, "div_gamma": 1, "div_prob": 0,
-        "max_length_formula": max_len,
         "unk": "_UNK", "pad": "_PAD", "end": "_END",
+        "div_gamma": 1, "div_prob": 0,
+        **base,
+        "decoding": "greedy", "beam_size": 2,
+        "max_length_formula": max_len,
         "path_vocab": data_dir + "vocab.txt",
         "batch_size": max_batch, "buckets": buckets,
     })

@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from latex_ocr_tpu.utils.jax_setup import setup_jax
 setup_jax()
-import json, shutil
+import json
 import jax, jax.numpy as jnp
 from latex_ocr_tpu.data.generator import DataGenerator, default_img_prepro
 from latex_ocr_tpu.data.vocab import Vocab

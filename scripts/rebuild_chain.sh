@@ -2,6 +2,9 @@
 # Rebuild the synthetic datasets + the full training ladder
 # (EZ -> curriculum -> 50k, plus handwritten transfer) end to end.
 # Round-2 rerun: results/ and data/ are not kept between rounds.
+# Phase-skip guards use a .chain_done sentinel written only on a clean
+# phase exit — a non-empty model_weights dir proves nothing (a crashed
+# run's first checkpoint would otherwise skip the rest of the phase).
 set -e
 cd "$(dirname "$0")/.."
 
@@ -12,11 +15,11 @@ echo "=== build datasets ==="
 [ -d data/hw400 ]     || python scripts/build_synthetic.py --out data/hw400 --n-train 400 --n-val 60 --n-test 60 --min-len 3 --max-len 20 --handwritten
 
 echo "=== train synthEZ ==="
-[ -n "$(ls -A results/synthEZ/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_synthEZ.py && { ok=1; break; }; echo "train_synthEZ attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synthEZ failed 3 attempts"; exit 1; }; }
+[ -f results/synthEZ/.chain_done ] || { ok=0; for i in 1 2 3; do python scripts/train_synthEZ.py && { ok=1; touch results/synthEZ/.chain_done; break; }; echo "train_synthEZ attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synthEZ failed 3 attempts"; exit 1; }; }
 echo "=== train curriculum (synth10k_cur) ==="
-[ -n "$(ls -A results/synth10k_cur/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_curriculum.py && { ok=1; break; }; echo "train_curriculum attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_curriculum failed 3 attempts"; exit 1; }; }
+[ -f results/synth10k_cur/.chain_done ] || { ok=0; for i in 1 2 3; do python scripts/train_curriculum.py && { ok=1; touch results/synth10k_cur/.chain_done; break; }; echo "train_curriculum attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_curriculum failed 3 attempts"; exit 1; }; }
 echo "=== train synth50k ==="
-[ -n "$(ls -A results/synth50k/model_weights 2>/dev/null)" ] || { ok=0; for i in 1 2 3; do python scripts/train_synth50k.py && { ok=1; break; }; echo "train_synth50k attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synth50k failed 3 attempts"; exit 1; }; }
+[ -f results/synth50k/.chain_done ] || { ok=0; for i in 1 2 3; do python scripts/train_synth50k.py && { ok=1; touch results/synth50k/.chain_done; break; }; echo "train_synth50k attempt $i died — auto-resume will continue"; done; [ "$ok" = 1 ] || { echo "train_synth50k failed 3 attempts"; exit 1; }; }
 echo "=== beam eval + handwritten transfer ==="
 python scripts/eval_beam_and_handwritten.py
 echo "=== beam x alpha sweep (BASELINE config #3) ==="

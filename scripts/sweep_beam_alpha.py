@@ -46,8 +46,16 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
 
     results = results.rstrip("/") + "/"
     data_dir = data_dir.rstrip("/") + "/"
-    buckets = [[240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
-               [720, 120], [800, 100], [1000, 200]]
+    # restore the run's snapshotted config (model dims, encoder variant,
+    # bucket table) instead of assuming the flagship shape — a run trained
+    # with different dims or the wide 12-bucket table must sweep as trained
+    base = Config.from_run_dir(results).to_dict()
+    buckets = base.get("buckets") or [
+        [240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
+        [720, 120], [800, 100], [1000, 200]]
+    if os.path.exists(data_dir + "buckets.json"):
+        with open(data_dir + "buckets.json") as f:
+            buckets = json.load(f)
 
     rows = []
     params = None
@@ -58,14 +66,13 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
         if beam == 1 and alpha != 0.0:
             continue  # length norm is a no-op on a single hypothesis
         cfg = Config({
-            "encoder_cnn": "vanilla", "positional_embeddings": True,
-            "attn_cell_config": {"cell_type": "lstm", "num_units": 512,
-                                  "dim_e": 256, "dim_o": 512, "dim_embeddings": 80},
+            "unk": "_UNK", "pad": "_PAD", "end": "_END",
+            "div_gamma": 1, "div_prob": 0,
+            **base,
             "decoding": "greedy" if beam == 1 else "beam_search",
-            "beam_size": beam, "div_gamma": 1, "div_prob": 0,
+            "beam_size": beam,
             "length_norm_alpha": alpha,
             "max_length_formula": max_len,
-            "unk": "_UNK", "pad": "_PAD", "end": "_END",
             "path_vocab": data_dir + "vocab.txt",
             "batch_size": batch_size, "buckets": buckets,
         })
@@ -74,7 +81,9 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
                              decoder_dtype=jnp.float32)
         if params is None:
             params = model.init_params(jax.random.PRNGKey(0))
-            params = CheckpointManager(results + "model_weights").restore_params(params)
+            params = CheckpointManager(results + "model_weights").restore_params(
+                params, required=True
+            )
         test_set = DataGenerator(
             data_dir + "test.formulas.norm.txt", data_dir + "images_test/",
             data_dir + "test.matching.txt", img_prepro=default_img_prepro,

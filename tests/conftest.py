@@ -7,6 +7,9 @@ import os
 # the real (tunneled) TPU, and eager test dispatch over the tunnel is both
 # slow and single-device.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# skip TensorBoard event writing in tests: the torch import behind it costs
+# seconds + high RSS on the 1-CPU build host (utils/metrics.py honors this)
+os.environ.setdefault("LATEX_OCR_NO_TB", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -74,13 +74,16 @@ def test_score_dirs_missing_hyp(tmp_path):
     assert 0 < scores["Lev"] < 1
 
 
-def test_metrics_writer_jsonl_and_tensorboard(tmp_path):
+def test_metrics_writer_jsonl_and_tensorboard(tmp_path, monkeypatch):
     """Scalars land in metrics.jsonl and, when a TB backend is importable,
     as real event files under <run>/tb/ (reference parity: base.py:85-93)."""
     import json
 
     from latex_ocr_tpu.utils.metrics import MetricsWriter
 
+    # conftest disables TB suite-wide (torch import cost); re-enable here —
+    # this is the one test that pins the event-file parity behavior
+    monkeypatch.delenv("LATEX_OCR_NO_TB", raising=False)
     w = MetricsWriter(str(tmp_path))
     w.write(0, {"loss": 1.5}, epoch=0)
     w.write(10, {"loss": 0.5, "lr": 1e-3}, epoch=0)
