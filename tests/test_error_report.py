@@ -1,0 +1,60 @@
+"""Tests for evaluation.report (decode-error breakdown).
+
+Artifact layout matches the reference's write_answers output
+(reference model/evaluation/text.py:107-145): one formula per line,
+ref.txt / hyp_0.txt paired by line number.
+"""
+
+from latex_ocr_tpu.evaluation.report import analyze_answers, format_report
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_analyze_answers_breakdown(tmp_path):
+    refs = [
+        "a b c",                    # exact
+        "a _UNK b",                 # OOV line, exact
+        "a _UNK c",                 # OOV line, missed (substitution)
+        "x y z w",                  # overcalled _UNK (in-vocab -> _UNK)
+        "p q",                      # length-mismatch miss
+        " ".join(["t"] * 30),       # long line, exact
+    ]
+    hyps = [
+        "a b c",
+        "a _UNK b",
+        "a \\ast c",
+        "x _UNK z w",
+        "p q r",
+        " ".join(["t"] * 30),
+    ]
+    r = analyze_answers(
+        _write(tmp_path, "ref.txt", refs),
+        _write(tmp_path, "hyp_0.txt", hyps),
+        length_bucket=25,
+    )
+    assert r["n"] == 6 and r["misses"] == 3
+    assert r["exact_match"] == 50.0
+    assert r["oov_lines"] == {"total": 2, "exact": 1}
+    assert r["overcalled_unk_misses"] == 1
+    assert r["by_length"]["0-24"] == {"missed": 3, "total": 5}
+    assert r["by_length"]["25-49"] == {"missed": 0, "total": 1}
+    pairs = {(c["ref"], c["hyp"]) for c in r["top_confusions"]}
+    assert ("_UNK", "\\ast") in pairs and ("y", "_UNK") in pairs
+
+    text = format_report(r)
+    assert "exact match 50.00%" in text
+    assert "OOV lines" in text and "1/2 exact" in text
+
+
+def test_analyze_answers_all_exact(tmp_path):
+    refs = ["a b", "c d e"]
+    r = analyze_answers(
+        _write(tmp_path, "ref.txt", refs),
+        _write(tmp_path, "hyp_0.txt", refs),
+    )
+    assert r["misses"] == 0 and r["exact_match"] == 100.0
+    assert r["overcalled_unk_misses"] == 0 and r["top_confusions"] == []
