@@ -18,6 +18,10 @@ def setup_jax(
 ) -> None:
     import jax
 
+    # explicit arg > LATEX_OCR_PLATFORM env > backend default. The env form
+    # lets any CLI run on CPU while the (shared) TPU is busy, and lets tests
+    # drive the real CLIs in subprocesses without touching a device.
+    platform = platform or os.environ.get("LATEX_OCR_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
     if debug_nans or os.environ.get("LATEX_OCR_DEBUG_NANS"):

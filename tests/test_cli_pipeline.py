@@ -1,0 +1,139 @@
+"""End-to-end CLI integration test: the reference's `make small` pipeline.
+
+Drives the REAL root CLIs (build.py -> train.py -> evaluate_txt.py ->
+predict.py) in subprocesses with a tiny model over the shipped
+110-sample small dataset, exactly as the reference makefile:31-41 chains
+them. This is the only place the 4-JSON composition + run-dir snapshot +
+restore path is exercised through the actual command surface.
+
+Subprocesses pin LATEX_OCR_PLATFORM=cpu (utils/jax_setup.py) — pytest's
+in-process CPU pinning does not reach them.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd, timeout=900):
+    env = dict(
+        os.environ,
+        LATEX_OCR_PLATFORM="cpu",
+        JAX_PLATFORMS="cpu",
+        LATEX_OCR_NO_TB="1",
+    )
+    proc = subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert proc.returncode == 0, (
+        f"{args} failed rc={proc.returncode}\n"
+        f"stdout: {proc.stdout[-1500:]}\nstderr: {proc.stderr[-1500:]}"
+    )
+    return proc
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    """build -> train over the shipped small formulas with tiny configs."""
+    root = tmp_path_factory.mktemp("cli_small")
+    d = str(root)
+    cfg_dir = root / "configs"
+    cfg_dir.mkdir()
+
+    def wcfg(name, payload):
+        p = cfg_dir / name
+        p.write_text(json.dumps(payload))
+        return str(p)
+
+    data_json = wcfg("data.json", {
+        "export_name": "data.json",
+        "dir_images_train": f"{d}/images_train/",
+        "dir_images_val": f"{d}/images_val/",
+        "dir_images_test": f"{d}/images_test/",
+        "path_matching_train": f"{d}/train.matching.txt",
+        "path_matching_val": f"{d}/val.matching.txt",
+        "path_matching_test": f"{d}/test.matching.txt",
+        "path_formulas_train": "data/small.formulas/train.norm.txt",
+        "path_formulas_val": "data/small.formulas/val.norm.txt",
+        "path_formulas_test": "data/small.formulas/test.norm.txt",
+        "max_iter": None,
+        "max_length_formula": 30,
+        "bucket_train": True, "bucket_val": True, "bucket_test": True,
+        "buckets": [[240, 100], [320, 80], [400, 100], [480, 100],
+                    [560, 100], [720, 120]],
+    })
+    vocab_json = wcfg("vocab.json", {
+        "export_name": "vocab.json",
+        "unk": "_UNK", "pad": "_PAD", "end": "_END",
+        "path_vocab": f"{d}/vocab.txt",
+        "min_count_tok": 0,
+    })
+    training_json = wcfg("training.json", {
+        "export_name": "training.json",
+        "n_epochs": 2, "batch_size": 8, "dropout": 1.0, "clip": -1,
+        "lr_method": "adam", "lr_init": 1e-3, "lr_min": 1e-4,
+        "start_decay": 100, "end_decay": 200, "lr_warm": 1e-4, "end_warm": 0,
+        "compute_dtype": "float32", "decoder_dtype": "float32",
+    })
+    model_json = wcfg("model.json", {
+        "export_name": "model.json",
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "attn_cell_config": {"cell_type": "lstm", "num_units": 32,
+                             "dim_e": 16, "dim_o": 32, "dim_embeddings": 8},
+        "decoding": "greedy", "beam_size": 1, "div_gamma": 1, "div_prob": 0,
+        "max_length_formula": 30,
+    })
+    results = f"{d}/results/"
+
+    _run(["build.py", "--data", data_json, "--vocab", vocab_json], cwd=REPO)
+    _run(["train.py", "--data", data_json, "--vocab", vocab_json,
+          "--training", training_json, "--model", model_json,
+          "--output", results], cwd=REPO)
+    return {"dir": d, "results": results}
+
+
+def test_build_artifacts(small_run):
+    d = small_run["dir"]
+    assert os.path.getsize(f"{d}/vocab.txt") > 0
+    matching = open(f"{d}/train.matching.txt").read().splitlines()
+    assert matching and all(len(l.split()) == 2 for l in matching)
+    first_img = matching[0].split()[0]
+    assert os.path.exists(f"{d}/images_train/{first_img}")
+
+
+def test_train_snapshot_and_checkpoint(small_run):
+    res = small_run["results"]
+    # 4-JSON snapshot under each export_name (reference general.py:111-120)
+    for name in ("data.json", "vocab.json", "training.json", "model.json"):
+        assert os.path.exists(os.path.join(res, name)), name
+    assert os.path.isdir(os.path.join(res, "model_weights"))
+    assert os.path.exists(os.path.join(res, "model.log"))
+
+
+def test_evaluate_txt_cli(small_run):
+    proc = _run(["evaluate_txt.py", "--results", small_run["results"],
+                 "--batch_size", "8"], cwd=REPO)
+    out = proc.stdout
+    # metric lines in the reference's "k is v" style + answer artifacts
+    assert "BLEU-4" in out and "ExactMatchScore" in out
+    answers = os.path.join(small_run["results"], "formulas_test")
+    assert os.path.exists(os.path.join(answers, "ref.txt"))
+    assert os.path.exists(os.path.join(answers, "hyp_0.txt"))
+
+
+def test_predict_cli_one_shot(small_run):
+    d = small_run["dir"]
+    matching = open(f"{d}/test.matching.txt").read().splitlines()
+    img = f"{d}/images_test/{matching[0].split()[0]}"
+    proc = _run(["predict.py", "--results", small_run["results"],
+                 "--image", img], cwd=REPO)
+    # contract: exactly one hypothesis line on stdout. The 2-epoch tiny
+    # model may legitimately decode an empty formula (immediate END), so
+    # assert the line, not its content — quality is evaluate_txt's job.
+    assert proc.stdout.endswith("\n") and proc.stdout.count("\n") == 1
