@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from .decoder import (
@@ -40,7 +41,11 @@ from .decoder import (
     initial_state,
 )
 
-NEG_INF = jnp.float32(-1e30)
+# numpy scalar, NOT jnp: a module-level jnp constant materializes a device
+# array at import time, initializing the backend before CLI entry points can
+# pin the platform (utils/jax_setup.py) — restores then fail on the wrong
+# device. np.float32 keeps the exact dtype semantics with no device touch.
+NEG_INF = np.float32(-1e30)
 
 
 # ------------------------------------------------------------------- greedy

@@ -127,6 +127,29 @@ def test_evaluate_txt_cli(small_run):
     assert os.path.exists(os.path.join(answers, "hyp_0.txt"))
 
 
+def test_evaluate_img_cli(small_run):
+    # depends on evaluate_txt having written ref.txt/hyp_0.txt
+    answers = os.path.join(small_run["results"], "formulas_test")
+    if not os.path.exists(os.path.join(answers, "ref.txt")):
+        _run(["evaluate_txt.py", "--results", small_run["results"],
+              "--batch_size", "8"], cwd=REPO)
+    proc = _run(["evaluate_img.py", "--results", small_run["results"]],
+                cwd=REPO)
+    assert "Eval Img" in proc.stdout
+    assert os.path.isdir(os.path.join(answers, "images_ref"))
+
+
+def test_visualize_attention_cli(small_run):
+    d = small_run["dir"]
+    matching = open(f"{d}/test.matching.txt").read().splitlines()
+    img = f"{d}/images_test/{matching[0].split()[0]}"
+    out = f"{d}/vis/"
+    _run(["visualize_attention.py", "--results", small_run["results"],
+          "--image", img, "--output", out], cwd=REPO)
+    files = os.listdir(out)
+    assert any(f.endswith(".png") for f in files), files
+
+
 def test_predict_cli_one_shot(small_run):
     d = small_run["dir"]
     matching = open(f"{d}/test.matching.txt").read().splitlines()
