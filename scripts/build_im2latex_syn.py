@@ -66,6 +66,14 @@ BUCKETS = [
                    "in-vocab glyphs are the measured confusion source after "
                    "OOV training (the decoder overcalls _UNK on glyphs it "
                    "has seen too few times to tell from novel ones).")
+@click.option("--length-boost", default=0.0,
+              help="Additionally weight shuffle-augmentation source lines "
+                   "by (token count)^boost. Long formulas are the largest "
+                   "remaining miss cluster (12/42 at ref length 125-149 on "
+                   "the D' model, 4 of them decoding to the length cap "
+                   "without END) — more long-row attention exposure is the "
+                   "data-side lever. Composes with --rare-boost "
+                   "(weights multiply).")
 @click.option("--augment-mode", default="trigram",
               type=click.Choice(["trigram", "shuffle"]),
               help="trigram: n-gram LM samples (real-looking grammar — but "
@@ -77,7 +85,7 @@ BUCKETS = [
                    "samples is to read the pixels (mirrors why the "
                    "random-token synth task grounds reliably).")
 def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
-         oov_inject, rare_boost, augment_mode):
+         oov_inject, rare_boost, length_boost, augment_mode):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
@@ -122,13 +130,20 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
         uni_p /= uni_p.sum()
         seen = set(train_formulas)
         src_p = None
-        if rare_boost:
-            min_counts = np.array(
-                [min(uni[t] for t in f.split()) for f in train_formulas],
-                np.float64,
-            )
-            src_p = min_counts ** (-rare_boost)
-            src_p /= src_p.sum()
+        if rare_boost or length_boost:
+            weights = np.ones(len(train_formulas), np.float64)
+            if rare_boost:
+                min_counts = np.array(
+                    [min(uni[t] for t in f.split()) for f in train_formulas],
+                    np.float64,
+                )
+                weights *= min_counts ** (-rare_boost)
+            if length_boost:
+                lens = np.array(
+                    [len(f.split()) for f in train_formulas], np.float64
+                )
+                weights *= lens ** length_boost
+            src_p = weights / weights.sum()
         sampled = []
         attempts = 0
         while len(sampled) < augment_ngram:

@@ -127,6 +127,41 @@ def test_rare_boost_oversamples_rare_glyph_lines(tmp_path):
     assert rare_rate > 0.25, f"rare line rate {rare_rate:.2f} not boosted"
 
 
+def test_length_boost_oversamples_long_lines(tmp_path):
+    """--length-boost weights source lines by len^boost: the long lines'
+    share of augmented draws rises well above their corpus share."""
+    source = tmp_path / "source"
+    source.mkdir()
+    base = ["a", "b", "c", "+", "x", "y", "{", "}"]
+    short = [" ".join(base[(i + j) % len(base)] for j in range(4))
+             for i in range(36)]
+    longs = [" ".join(base[(i + j) % len(base)] for j in range(40))
+             for i in range(4)]
+    lines = short + longs  # long lines are 10% of the corpus, 10x the length
+    (source / "val.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+    (source / "test.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable, BUILDER,
+            "--source", str(source), "--out", str(out),
+            "--n-val", "2", "--n-test", "2", "--n-threads", "2",
+            "--augment-ngram", "40", "--augment-mode", "shuffle",
+            "--length-boost", "1.0",
+        ],
+        capture_output=True, text=True, timeout=600,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    train = (out / "train.formulas.norm.txt").read_text().splitlines()
+    augmented = train[40:]
+    assert augmented
+    long_rate = sum(len(l.split()) == 40 for l in augmented) / len(augmented)
+    # base share 10%; len-weighted share = 4*40 / (36*4 + 4*40) = 52.6%
+    assert long_rate > 0.3, f"long-line rate {long_rate:.2f} not boosted"
+
+
 def test_oov_lines_render_and_reach_matching_file(built):
     train = (built / "train.formulas.norm.txt").read_text().splitlines()
     matching = (built / "train.matching.txt").read_text().splitlines()
