@@ -37,6 +37,13 @@ ap.add_argument("--warm-start", default=None,
                      "Trainer init_params (curriculum: ground attention on "
                      "short uniform-token formulas, then transfer — the "
                      "synthEZ->synth50k recipe)")
+ap.add_argument("--alpha-c", type=float, default=0.0,
+                help="doubly-stochastic attention regularizer weight (SAT; "
+                     "models/img2seq.py _loss_fn). Penalizes re-attending "
+                     "the same regions across steps — the long-formula "
+                     "drift failure mode. Keep small: with R >> T the "
+                     "coverage target is unreachable and a large weight "
+                     "swamps the CE loss.")
 args = ap.parse_args()
 
 base = args.data_dir.rstrip("/") + "/"
@@ -54,6 +61,7 @@ cfg = Config({
     "dropout": args.dropout,
     "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
+    "alpha_c": args.alpha_c,
     # dataset paths: snapshotted (Config.save -> config.json) so the
     # evaluate_txt/evaluate_img/predict/serve CLIs can restore this run
     # exactly like a CLI-trained one (Config.from_run_dir fallback)
