@@ -31,6 +31,9 @@ def analyze_answers(
     with open(path_hyp) as f:
         hyps = [ln.strip() for ln in f]
     n = min(len(refs), len(hyps))
+    # a partial hyp file (crashed evaluate) must not masquerade as a clean
+    # report over the surviving prefix — carry the dropped count
+    dropped = max(len(refs), len(hyps)) - n
     refs, hyps = refs[:n], hyps[:n]
 
     by_length: Dict[int, List[int]] = {}  # bucket lo -> [misses, total]
@@ -61,6 +64,7 @@ def analyze_answers(
 
     return {
         "n": n,
+        "dropped_unpaired_lines": dropped,
         "exact_match": round(100.0 * (n - misses) / max(n, 1), 3),
         "misses": misses,
         "by_length": {
@@ -80,6 +84,14 @@ def format_report(report: Dict) -> str:
     lines = [
         f"n={report['n']}  exact match {report['exact_match']:.2f}%  "
         f"({report['misses']} misses)",
+    ]
+    if report.get("dropped_unpaired_lines"):
+        lines.append(
+            f"WARNING: ref/hyp line counts differ — "
+            f"{report['dropped_unpaired_lines']} unpaired lines dropped "
+            "(truncated or mismatched artifact?)"
+        )
+    lines += [
         "",
         "| ref length | missed / total |",
         "|---|---|",

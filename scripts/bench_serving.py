@@ -56,12 +56,19 @@ def main(results, data_dir, hw_data, max_len, duration, max_batch):
     results = results.rstrip("/") + "/"
     data_dir = data_dir.rstrip("/") + "/"
     # restore the run's snapshotted config (model dims, encoder variant,
-    # bucket table) so a non-flagship run serves with the shape it trained on
-    base = Config.from_run_dir(results).to_dict()
+    # bucket table) so a non-flagship run serves with the shape it trained
+    # on; snapshot-less legacy runs fall back to the flagship defaults below
+    try:
+        base = Config.from_run_dir(results).to_dict()
+    except FileNotFoundError:
+        base = {}
     buckets = base.get("buckets") or [
         [240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
         [720, 120], [800, 100], [1000, 200]]
     cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "attn_cell_config": {"cell_type": "lstm", "num_units": 512,
+                             "dim_e": 256, "dim_o": 512, "dim_embeddings": 80},
         "unk": "_UNK", "pad": "_PAD", "end": "_END",
         "div_gamma": 1, "div_prob": 0,
         **base,

@@ -131,6 +131,13 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
         seen = set(train_formulas)
         src_p = None
         if rare_boost or length_boost:
+            if augment_mode != "shuffle":
+                raise click.ClickException(
+                    "--rare-boost/--length-boost reweight the shuffle-mode "
+                    "source-line draw and have no effect on trigram "
+                    "sampling — add --augment-mode shuffle (a silently "
+                    "unboosted multi-minute render helps no one)"
+                )
             weights = np.ones(len(train_formulas), np.float64)
             if rare_boost:
                 min_counts = np.array(
@@ -144,6 +151,10 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                 )
                 weights *= lens ** length_boost
             src_p = weights / weights.sum()
+            # pre-draw weighted indices in batches: rng.choice(p=...) per
+            # draw rebuilds the O(n) cumulative distribution every call
+            src_cum = np.cumsum(src_p)
+            src_cum[-1] = 1.0
         sampled = []
         attempts = 0
         while len(sampled) < augment_ngram:
@@ -156,7 +167,8 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                 break
             if augment_mode == "shuffle":
                 if src_p is not None:
-                    src = train_formulas[int(rng.choice(len(train_formulas), p=src_p))]
+                    idx = int(np.searchsorted(src_cum, rng.random(), side="right"))
+                    src = train_formulas[min(idx, len(train_formulas) - 1)]
                 else:
                     src = train_formulas[int(rng.integers(0, len(train_formulas)))]
                 toks = list(rng.permutation(src.split()))

@@ -48,8 +48,13 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
     data_dir = data_dir.rstrip("/") + "/"
     # restore the run's snapshotted config (model dims, encoder variant,
     # bucket table) instead of assuming the flagship shape — a run trained
-    # with different dims or the wide 12-bucket table must sweep as trained
-    base = Config.from_run_dir(results).to_dict()
+    # with different dims or the wide 12-bucket table must sweep as trained.
+    # Runs from before snapshots were universal may have none: fall back to
+    # the flagship defaults below rather than crashing the chain.
+    try:
+        base = Config.from_run_dir(results).to_dict()
+    except FileNotFoundError:
+        base = {}
     buckets = base.get("buckets") or [
         [240, 100], [320, 80], [400, 100], [480, 100], [560, 100],
         [720, 120], [800, 100], [1000, 200]]
@@ -66,6 +71,10 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
         if beam == 1 and alpha != 0.0:
             continue  # length norm is a no-op on a single hypothesis
         cfg = Config({
+            "encoder_cnn": "vanilla", "positional_embeddings": True,
+            "attn_cell_config": {"cell_type": "lstm", "num_units": 512,
+                                 "dim_e": 256, "dim_o": 512,
+                                 "dim_embeddings": 80},
             "unk": "_UNK", "pad": "_PAD", "end": "_END",
             "div_gamma": 1, "div_prob": 0,
             **base,

@@ -33,6 +33,7 @@ model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.f
 # warm-start from the short-formula run's weights (params only: copying
 # the ckpt dir would leak the donor's best_score/epoch and block keep-best)
 out = "results/synth10k_cur/"
+cfg.save(out)  # snapshot so Config.from_run_dir restores this run
 init_params = None
 # probe for a SAVED checkpoint (the dir alone proves nothing: the
 # manager mkdirs eagerly, so a run that died pre-save leaves it)

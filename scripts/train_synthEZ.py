@@ -30,6 +30,7 @@ def ds(split):
     return DataGenerator(base + f"{split}.formulas.norm.txt", base + f"images_{split}/",
                          base + f"{split}.matching.txt", img_prepro=default_img_prepro,
                          form_prepro=vocab.form_prepro, bucket=True, bucket_size=64, max_len=11)
+cfg.save("results/synthEZ/")  # snapshot so Config.from_run_dir restores this run
 trainer = Trainer(model, cfg, "results/synthEZ/")
 lr = LRSchedule(lr_init=1e-3, lr_min=1e-4, start_decay=10000, end_decay=12000)
 t0 = time.time()

@@ -32,6 +32,7 @@ vocab = Vocab(cfg)
 model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16, decoder_dtype=jnp.float32)
 
 out = "results/synthLong/"
+cfg.save(out)  # snapshot so Config.from_run_dir restores this run
 init_params = None
 # probe for a SAVED checkpoint (the dir alone proves nothing: the
 # manager mkdirs eagerly, so a run that died pre-save leaves it)

@@ -58,3 +58,16 @@ def test_analyze_answers_all_exact(tmp_path):
     )
     assert r["misses"] == 0 and r["exact_match"] == 100.0
     assert r["overcalled_unk_misses"] == 0 and r["top_confusions"] == []
+    assert r["dropped_unpaired_lines"] == 0
+
+
+def test_truncated_hyp_artifact_is_flagged(tmp_path):
+    """A partial hyp file (crashed evaluate) must not read as a clean
+    report over the surviving prefix."""
+    refs = ["a b", "c d", "e f", "g h"]
+    r = analyze_answers(
+        _write(tmp_path, "ref.txt", refs),
+        _write(tmp_path, "hyp_0.txt", refs[:1]),
+    )
+    assert r["n"] == 1 and r["dropped_unpaired_lines"] == 3
+    assert "WARNING" in format_report(r)

@@ -162,6 +162,28 @@ def test_length_boost_oversamples_long_lines(tmp_path):
     assert long_rate > 0.3, f"long-line rate {long_rate:.2f} not boosted"
 
 
+def test_boost_with_trigram_mode_is_an_error(tmp_path):
+    """The boosts reweight the shuffle-mode source draw; combining them
+    with trigram sampling must fail fast, not silently render an
+    unboosted dataset."""
+    source = tmp_path / "source"
+    source.mkdir()
+    (source / "val.formulas.norm.txt").write_text("a b c\nb c a\n")
+    (source / "test.formulas.norm.txt").write_text("a b c\nb c a\n")
+    proc = subprocess.run(
+        [
+            sys.executable, BUILDER,
+            "--source", str(source), "--out", str(tmp_path / "out"),
+            "--n-val", "1", "--n-test", "1", "--n-threads", "1",
+            "--augment-ngram", "4", "--rare-boost", "1.0",
+        ],
+        capture_output=True, text=True, timeout=300,
+        env=dict(os.environ, JAX_PLATFORMS="cpu"),
+    )
+    assert proc.returncode != 0
+    assert "--augment-mode shuffle" in proc.stderr + proc.stdout
+
+
 def test_oov_lines_render_and_reach_matching_file(built):
     train = (built / "train.formulas.norm.txt").read_text().splitlines()
     matching = (built / "train.matching.txt").read_text().splitlines()
