@@ -110,9 +110,20 @@ class CheckpointManager:
                 absl_logger.setLevel(prev_level)
         params = restored["params"]
         if params_like is not None:
-            params = jax.tree.map(
-                lambda like, x: jax.numpy.asarray(x, dtype=like.dtype), params_like, params
-            )
+            # fail with the actual story on shape drift (e.g. a donor
+            # checkpoint saved for a different vocab size) instead of a
+            # confusing trace-time error downstream
+            def _cast(like, x):
+                if tuple(like.shape) != tuple(x.shape):
+                    raise ValueError(
+                        f"checkpoint under {self.dir_model!r} holds shape "
+                        f"{tuple(x.shape)} where the model expects "
+                        f"{tuple(like.shape)} — different model/vocab "
+                        "config; pick a compatible donor or rebuild"
+                    )
+                return jax.numpy.asarray(x, dtype=like.dtype)
+
+            params = jax.tree.map(_cast, params_like, params)
         return params
 
     def close(self) -> None:

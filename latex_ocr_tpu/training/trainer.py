@@ -111,7 +111,18 @@ class Trainer:
             "score": 0.0,
             "n_no_improvement": 0,
         }
-        restored = ckpt.restore(params, opt_state, extra_like)
+        try:
+            restored = ckpt.restore(params, opt_state, extra_like)
+        except ValueError as e:
+            # orbax raises a deep shape-compat error when the run dir holds
+            # a checkpoint for a DIFFERENT model (e.g. another vocab size) —
+            # surface what actually happened and how to proceed
+            raise ValueError(
+                f"Auto-resume found an incompatible checkpoint under "
+                f"{self.dir_output!r} (saved for a different model/vocab "
+                f"shape). Clear that run dir or train into a fresh "
+                f"--output. Original error: {e}"
+            ) from e
         if restored is not None:
             params, opt_state, extra, start_epoch = restored
             start_epoch += 1
