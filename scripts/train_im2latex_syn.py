@@ -37,6 +37,14 @@ ap.add_argument("--warm-start", default=None,
                      "Trainer init_params (curriculum: ground attention on "
                      "short uniform-token formulas, then transfer — the "
                      "synthEZ->synth50k recipe)")
+ap.add_argument("--decay-on-plateau", type=float, default=None,
+                help="multiply lr by this whenever a validation score fails "
+                     "to improve (reference lr_schedule.py score decay). "
+                     "The stability lever for long constant-lr phases: at "
+                     "lr 5e-4 the real-corpus phase can diverge to the LM "
+                     "floor mid-run (measured — loss 0.005 -> 2.7, never "
+                     "recovers); plateau decay steps the lr down before "
+                     "the blow-up and subsumes much of the final polish.")
 ap.add_argument("--alpha-c", type=float, default=0.0,
                 help="doubly-stochastic attention regularizer weight (SAT; "
                      "models/img2seq.py _loss_fn). Penalizes re-attending "
@@ -98,7 +106,8 @@ val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, args.out)
 lr = LRSchedule(lr_init=args.lr_init, lr_min=args.lr_min,
-                start_decay=args.start_decay, end_decay=args.end_decay)
+                start_decay=args.start_decay, end_decay=args.end_decay,
+                decay_rate=args.decay_on_plateau)
 t0 = time.time()
 best = trainer.train(train_pipe, val_pipe, lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)
