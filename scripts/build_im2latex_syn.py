@@ -205,8 +205,29 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
         ("train", train_formulas), ("val", val_formulas), ("test", test_formulas)
     ):
         fpath = os.path.join(out, f"{split}.formulas.norm.txt")
+        # the incremental render (build_images, reference image.py:238-245
+        # semantics) skips existing PNGs BY INDEX — if this split's formula
+        # list changed since the last build (e.g. a different --augment-mode
+        # into the same --out), every skipped image silently belongs to the
+        # OLD formula at that index and the dataset is poisoned (measured:
+        # 24k mismatched pairs held training at the LM floor while val, whose
+        # formulas hadn't changed, kept improving). Guard by content: clear
+        # the split's images and cache when the formula list differs.
+        new_content = "\n".join(formulas) + "\n"
+        old_content = None
+        if os.path.exists(fpath):
+            with open(fpath) as f:
+                old_content = f.read()
+        if old_content is not None and old_content != new_content:
+            import shutil
+
+            click.echo(f"{split}: formula list changed since last build — "
+                       "clearing stale renders + cache")
+            for stale in (os.path.join(out, f"images_{split}"),
+                          os.path.join(out, f"cache_{split}")):
+                shutil.rmtree(stale, ignore_errors=True)
         with open(fpath, "w") as f:
-            f.write("\n".join(formulas) + "\n")
+            f.write(new_content)
         dir_images = os.path.join(out, f"images_{split}/")
         result = build_images(
             dict(enumerate(formulas)), dir_images, buckets=BUCKETS,

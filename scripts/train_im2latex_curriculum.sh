@@ -56,13 +56,9 @@ python scripts/train_im2latex_syn.py --data-dir data/im2latexUni \
     --out results/im2latexUni/ --dropout 1.0 --n-epochs 20 \
     --max-length 110 --warm-start results/im2latexEZ
 
-# B runs long at constant lr; --decay-on-plateau steps the lr down on any
-# validation dip (reference score-decay semantics) — without it this phase
-# can diverge to the LM floor mid-run and never recover (measured once at
-# lr 5e-4: loss 0.005 -> 2.7 at epoch ~21, flat for the remaining 40)
 python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
     --out results/im2latexSyn/ --dropout 1.0 --n-epochs 60 \
-    --warm-start results/im2latexUni --decay-on-plateau 0.5
+    --warm-start results/im2latexUni
 
 # C: lr-decay polish (constant-lr training oscillates around EM ~90-95;
 # a 14-epoch 2e-4 -> 2e-5 decay lands it at EM ~97)

@@ -39,12 +39,9 @@ ap.add_argument("--warm-start", default=None,
                      "synthEZ->synth50k recipe)")
 ap.add_argument("--decay-on-plateau", type=float, default=None,
                 help="multiply lr by this whenever a validation score fails "
-                     "to improve (reference lr_schedule.py score decay). "
-                     "The stability lever for long constant-lr phases: at "
-                     "lr 5e-4 the real-corpus phase can diverge to the LM "
-                     "floor mid-run (measured — loss 0.005 -> 2.7, never "
-                     "recovers); plateau decay steps the lr down before "
-                     "the blow-up and subsumes much of the final polish.")
+                     "to improve (reference lr_schedule.py score-decay "
+                     "semantics) — an optional stability/polish lever for "
+                     "long constant-lr phases.")
 ap.add_argument("--alpha-c", type=float, default=0.0,
                 help="doubly-stochastic attention regularizer weight (SAT; "
                      "models/img2seq.py _loss_fn). Penalizes re-attending "

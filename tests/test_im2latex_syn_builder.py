@@ -162,6 +162,45 @@ def test_length_boost_oversamples_long_lines(tmp_path):
     assert long_rate > 0.3, f"long-line rate {long_rate:.2f} not boosted"
 
 
+def test_rebuild_with_changed_formulas_clears_stale_renders(tmp_path):
+    """The incremental render skips existing PNGs by index; rebuilding the
+    same --out with different formula content must clear stale images or
+    the dataset is silently poisoned (image i belongs to the OLD line i)."""
+    source = tmp_path / "source"
+    source.mkdir()
+    base = ["a", "b", "c", "+", "x", "y", "{", "}"]
+    lines = [" ".join(base[(i + j) % len(base)] for j in range(6))
+             for i in range(20)]
+    (source / "val.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+    (source / "test.formulas.norm.txt").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out"
+
+    def build(mode):
+        proc = subprocess.run(
+            [
+                sys.executable, BUILDER,
+                "--source", str(source), "--out", str(out),
+                "--n-val", "2", "--n-test", "2", "--n-threads", "2",
+                "--augment-ngram", "10", "--augment-mode", mode,
+            ],
+            capture_output=True, text=True, timeout=600,
+            env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return proc
+
+    build("shuffle")
+    img = out / "images_train" / "25.png"  # an augmented-line render
+    before = img.read_bytes()
+    proc = build("trigram")  # different augmented lines, same out dir
+    assert "clearing stale renders" in proc.stdout
+    # image 25 must now raster the NEW line 25, not the stale shuffle one
+    assert not img.exists() or img.read_bytes() != before
+    train = (out / "train.formulas.norm.txt").read_text().splitlines()
+    matching = (out / "train.matching.txt").read_text().splitlines()
+    assert len(matching) == len(train)
+
+
 def test_boost_with_trigram_mode_is_an_error(tmp_path):
     """The boosts reweight the shuffle-mode source draw; combining them
     with trigram sampling must fail fast, not silently render an
