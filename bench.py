@@ -24,13 +24,18 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main(n_real_tokens: int = 500) -> None:
+def main(n_real_tokens: int = 500, decoder_arch: str = "attn_lstm") -> None:
     """``n_real_tokens`` defaults to 500 (the im2latex vocab scale, and the
     round-1 bench workload — kept for round-over-round comparability).
     Passing 509 (+3 specials = 512, what data/vocab.py:pad_vocab lane-aligns
     to) measures identically within the tunneled chip's wobble: XLA already
     pads the (dim_o, V) logits matmul to 512 lanes, so vocab lane alignment
-    is throughput-neutral on this model (A/B measured 2026-08-17)."""
+    is throughput-neutral on this model (A/B measured 2026-08-17).
+
+    ``decoder_arch="transformer"`` (CLI: ``--transformer``) swaps in the
+    MXU-heavy transformer decoder family (models/transformer.py, defaults
+    4L/8H/256d) for an A/B against the flagship LSTM at the same bucket
+    shape; the driver's headline metric stays the no-arg LSTM run."""
     from latex_ocr_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -43,7 +48,10 @@ def main(n_real_tokens: int = 500) -> None:
 
     B, H, W, T = 256, 50, 200, 64
 
-    config = Config(dict(ge.FLAGSHIP_MODEL))
+    model_cfg = dict(ge.FLAGSHIP_MODEL)
+    if decoder_arch == "transformer":
+        model_cfg["decoder_arch"] = "transformer"
+    config = Config(model_cfg)
     vocab = ge._make_vocab(n_real_tokens)
     model = Img2SeqModel(config, vocab, compute_dtype=jnp.bfloat16)
 
@@ -98,8 +106,9 @@ def main(n_real_tokens: int = 500) -> None:
     elapsed = best_elapsed
 
     images_per_sec = B * n_steps / elapsed
+    arch_tag = "" if decoder_arch == "attn_lstm" else f", {decoder_arch} decoder"
     out = {
-        "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16)",
+        "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16{arch_tag})",
         "value": round(float(images_per_sec), 2),
         "unit": "images/sec",
         "vs_baseline": round(float(images_per_sec) / 50.0, 2),
@@ -115,4 +124,6 @@ def main(n_real_tokens: int = 500) -> None:
 if __name__ == "__main__":
     import sys
 
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500)
+    args = [a for a in sys.argv[1:] if a != "--transformer"]
+    arch = "transformer" if "--transformer" in sys.argv[1:] else "attn_lstm"
+    main(int(args[0]) if args else 500, decoder_arch=arch)

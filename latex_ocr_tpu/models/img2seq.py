@@ -76,6 +76,15 @@ class Img2SeqModel:
         self.decoder_dtype = decoder_dtype
         self.n_tok = vocab.n_tok
         self.id_end = vocab.id_end
+        # decoder family: the reference's Bahdanau-attention LSTM (default)
+        # or the beyond-reference MXU-heavy transformer (models/transformer.py)
+        self.decoder_arch = getattr(config, "decoder_arch", "attn_lstm")
+        if self.decoder_arch not in ("attn_lstm", "transformer"):
+            raise NotImplementedError(f"Unknown decoder_arch {self.decoder_arch}")
+        if self.decoder_arch == "transformer":
+            from .transformer import transformer_cfg
+
+            self.num_heads = transformer_cfg(config)["num_heads"]
         self.decoding = getattr(config, "decoding", "greedy")
         self.beam_size = getattr(config, "beam_size", 5)
         self.div_gamma = getattr(config, "div_gamma", 1.0)
@@ -153,9 +162,15 @@ class Img2SeqModel:
     # ------------------------------------------------------------- params
     def init_params(self, rng: jax.Array) -> Dict:
         enc_rng, dec_rng = jax.random.split(rng)
+        if self.decoder_arch == "transformer":
+            from .transformer import init_transformer_decoder_params
+
+            decoder = init_transformer_decoder_params(dec_rng, self.config, self.n_tok, 512)
+        else:
+            decoder = init_decoder_params(dec_rng, self.config, self.n_tok, 512)
         return {
             "encoder": init_encoder_params(enc_rng, self.config),
-            "decoder": init_decoder_params(dec_rng, self.config, self.n_tok, 512),
+            "decoder": decoder,
         }
 
     def init_optimizer(self, params: Dict, lr_method: str = "adam", clip: float = -1.0):
@@ -166,25 +181,45 @@ class Img2SeqModel:
         return self._tx.init(params)
 
     # ------------------------------------------------------------ forward
+    def _tf_logits(self, dec_params, feat, formula, dropout_rng=None,
+                   keep_prob: float = 1.0, return_attention: bool = False):
+        """Teacher-forced logits for the configured decoder family."""
+        if self.decoder_arch == "transformer":
+            from .transformer import transformer_teacher_forcing_logits
+
+            return transformer_teacher_forcing_logits(
+                dec_params, feat, formula, num_heads=self.num_heads,
+                dropout_rng=dropout_rng, keep_prob=keep_prob,
+                return_attention=return_attention,
+            )
+        return teacher_forcing_logits(
+            dec_params, feat, formula, dropout_rng=dropout_rng,
+            keep_prob=keep_prob, return_attention=return_attention,
+        )
+
     def _loss_fn(self, params, batch, dropout_rng, keep_prob):
         feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
         feat = feat.astype(self.decoder_dtype)
         alpha_c = float(getattr(self.config, "alpha_c", 0.0) or 0.0)
         if alpha_c > 0.0:
-            logits, attn = teacher_forcing_logits(
+            logits, attn = self._tf_logits(
                 params["decoder"], feat, batch["formula"],
                 dropout_rng=dropout_rng, keep_prob=keep_prob,
                 return_attention=True,
             )
         else:
             logits = None
-            if self.use_train_megakernel and (dropout_rng is None or keep_prob >= 1.0):
+            if (
+                self.decoder_arch == "attn_lstm"
+                and self.use_train_megakernel
+                and (dropout_rng is None or keep_prob >= 1.0)
+            ):
                 from ..ops.train_kernel import teacher_forcing_fused
 
                 # returns None when the bucket exceeds the VMEM budget
                 logits = teacher_forcing_fused(params["decoder"], feat, batch["formula"])
             if logits is None:
-                logits = teacher_forcing_logits(
+                logits = self._tf_logits(
                     params["decoder"], feat, batch["formula"],
                     dropout_rng=dropout_rng, keep_prob=keep_prob,
                 )
@@ -233,7 +268,7 @@ class Img2SeqModel:
         ce_words/n_words/pred ids in a single sess.run, img2seq.py:236)."""
         feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
         feat = feat.astype(self.decoder_dtype)
-        logits = teacher_forcing_logits(params["decoder"], feat, batch["formula"])
+        logits = self._tf_logits(params["decoder"], feat, batch["formula"])
         loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
         if self.decoding == "greedy":
             ids = self._greedy(params["decoder"], feat)[:, None, :]
@@ -243,6 +278,13 @@ class Img2SeqModel:
 
     def _greedy(self, dec_params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
         """Greedy ids (B, T): megakernel on TPU, XLA while_loop elsewhere."""
+        if self.decoder_arch == "transformer":
+            from .transformer import transformer_decode_greedy
+
+            return transformer_decode_greedy(
+                dec_params, feat, self.max_length, self.id_end,
+                num_heads=self.num_heads,
+            )
         if self.use_megakernel:
             from ..ops.decoder_kernel import decode_greedy_megakernel
 
@@ -260,6 +302,15 @@ class Img2SeqModel:
         XLA while_loop elsewhere. The megakernel handles the deterministic
         diversity penalty in-kernel and falls back to the XLA loop itself
         for the stochastic (div_prob < 1) variant."""
+        if self.decoder_arch == "transformer":
+            from .transformer import transformer_decode_beam
+
+            return transformer_decode_beam(
+                dec_params, feat, self.max_length, self.id_end,
+                self.beam_size, div_gamma=self.div_gamma, div_prob=self.div_prob,
+                length_norm_alpha=self.length_norm_alpha,
+                num_heads=self.num_heads,
+            )
         if self.use_megakernel:
             from ..ops.decoder_kernel import decode_beam_megakernel
 
@@ -291,6 +342,13 @@ class Img2SeqModel:
         """Greedy decode returning (ids (B, T), attention (B, T, R))."""
         feat = encode(params["encoder"], images, self.config, self.compute_dtype)
         feat = feat.astype(self.decoder_dtype)
+        if self.decoder_arch == "transformer":
+            from .transformer import transformer_decode_greedy_with_attention
+
+            return transformer_decode_greedy_with_attention(
+                params["decoder"], feat, self.max_length, self.id_end,
+                num_heads=self.num_heads,
+            )
         return decode_greedy_with_attention(
             params["decoder"], feat, self.max_length, self.id_end
         )
