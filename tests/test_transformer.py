@@ -194,11 +194,12 @@ def test_img2seq_transformer_end_to_end():
 
     losses = []
     rng = jax.random.PRNGKey(7)
-    for i in range(150):
+    for i in range(80):
         params, opt_state, metrics = model.train_step(
             params, opt_state, batch, jnp.float32(3e-3), jax.random.fold_in(rng, i), 1.0
         )
         losses.append(float(metrics["loss"]))
+    # measured trajectory: ~0.06 by step 25, ~0.007 by step 50
     assert losses[-1] < 0.3, f"no learning: {losses[0]} -> {losses[-1]}"
 
     metrics, ids = model.eval_decode_step(params, batch)
@@ -209,6 +210,34 @@ def test_img2seq_transformer_end_to_end():
     dec = np.asarray(model.decode_step(params, jnp.asarray(batch["image"])))
     em = (dec[:, 0, :8] == batch["formula"]).all(axis=1).mean()
     assert em >= 0.75, f"overfit decode EM {em}"
+
+
+def test_transformer_dp_mesh_matches_single_device():
+    """DP-sharded transformer train step == single-device step (the same
+    contract tests/test_parallel.py proves for the LSTM family)."""
+    from latex_ocr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(jax.devices()[:8])
+    vocab = _vocab()
+    model = Img2SeqModel(Config(dict(CFG.to_dict(), decoding="greedy")), vocab)
+    params = model.init_params(jax.random.PRNGKey(0))
+    host_batch = _batch(B=8)
+
+    def run(params_in, batch_in):
+        opt_state = model.init_optimizer(params_in, "sgd", clip=-1)
+        p, _, m = model.train_step(
+            jax.tree.map(jnp.copy, params_in), opt_state, batch_in,
+            jnp.float32(0.1), jax.random.PRNGKey(1), 1.0,
+        )
+        return p, m
+
+    p1, m1 = run(params, {k: jnp.asarray(v) for k, v in host_batch.items()})
+    p2, m2 = run(replicate(params, mesh), shard_batch(host_batch, mesh))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
 def test_img2seq_transformer_dropout_and_alpha_c():
