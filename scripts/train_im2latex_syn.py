@@ -49,6 +49,13 @@ ap.add_argument("--alpha-c", type=float, default=0.0,
                      "drift failure mode. Keep small: with R >> T the "
                      "coverage target is unreachable and a large weight "
                      "swamps the CE loss.")
+ap.add_argument("--decoder-arch", default="attn_lstm",
+                choices=("attn_lstm", "transformer"),
+                help="decoder family: the flagship Bahdanau LSTM or the "
+                     "MXU-dense transformer (models/transformer.py)")
+ap.add_argument("--transformer-config", default=None,
+                help='JSON dict overriding models/transformer.py defaults, '
+                     'e.g. \'{"num_layers": 4, "dim_model": 256}\'')
 args = ap.parse_args()
 
 base = args.data_dir.rstrip("/") + "/"
@@ -58,6 +65,8 @@ cfg = Config({
     "encoder_cnn": "vanilla", "positional_embeddings": True,
     "attn_cell_config": {"cell_type": "lstm", "num_units": 512, "dim_e": 256,
                           "dim_o": 512, "dim_embeddings": 80},
+    "decoder_arch": args.decoder_arch,
+    "transformer_config": json.loads(args.transformer_config) if args.transformer_config else None,
     "decoding": "greedy", "beam_size": 2, "div_gamma": 1, "div_prob": 0,
     "max_length_formula": args.max_length,
     "unk": "_UNK", "pad": "_PAD", "end": "_END",
