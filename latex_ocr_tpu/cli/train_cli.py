@@ -19,13 +19,31 @@ from .common import build_dataset, compute_dtype_from, make_vocab
 @click.option("--training", default="configs/training_small.json")
 @click.option("--model", default="configs/model.json")
 @click.option("--output", default="results/small/")
-def main(data: str, vocab: str, training: str, model: str, output: str) -> None:
+@click.option("--devices", default="auto", show_default=True,
+              help="Data-parallel mesh: 'auto' uses every visible chip "
+                   "(multi-chip DP is the default, not an expert path), "
+                   "'1' opts out, 'N' uses the first N devices.")
+def main(data: str, vocab: str, training: str, model: str, output: str,
+         devices: str) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
     config = Config([data, vocab, training, model])
     config.save(output)
     voc = make_vocab(config)
+
+    from ..parallel.mesh import auto_mesh, round_batch_to_mesh
+
+    mesh = auto_mesh(devices)
+    if mesh is not None:
+        rounded = round_batch_to_mesh(config.batch_size, mesh)
+        if rounded != config.batch_size:
+            click.echo(
+                f"batch_size {config.batch_size} -> {rounded} "
+                f"(multiple of the {mesh.devices.size}-device mesh)"
+            )
+            config.batch_size = rounded
+        click.echo(f"Data-parallel mesh: {mesh.devices.size} devices")
 
     train_set = build_dataset(config, voc, "train")
     val_set = build_dataset(config, voc, "val")
@@ -54,7 +72,7 @@ def main(data: str, vocab: str, training: str, model: str, output: str) -> None:
     from ..training.trainer import Trainer
 
     model_obj = Img2SeqModel(config, voc, compute_dtype=compute_dtype_from(config))
-    trainer = Trainer(model_obj, config, output)
+    trainer = Trainer(model_obj, config, output, mesh=mesh)
     best = trainer.train(train_set, val_set, lr_schedule)
     click.echo(f"Best validation score: {best}")
 

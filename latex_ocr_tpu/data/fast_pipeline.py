@@ -55,6 +55,15 @@ class CachedBatchPipeline:
         self.length_bucket = length_bucket
         self.max_formula_len = max_formula_len
         self.sharding = sharding
+        # adaptive batches must stay sublane-friendly (multiple of 8) AND
+        # divide evenly across a batch-sharded mesh
+        self._batch_multiple = 8
+        if sharding is not None:
+            try:
+                n_dev = int(np.prod(sharding.mesh.devices.shape))
+                self._batch_multiple = int(np.lcm(8, n_dev))
+            except AttributeError:
+                pass
         self.shuffle_seed = shuffle_seed
         self.n_threads = n_threads
         # cap on examples per epoch (reference DataGenerator max_iter,
@@ -120,11 +129,14 @@ class CachedBatchPipeline:
 
     def batch_size_for(self, shape: Tuple[int, int]) -> int:
         if self.target_batch_pixels is None:
+            # fixed batch: the caller owns divisibility (round_batch_to_mesh)
             return self.batch_size
+        m = self._batch_multiple
         h, w = shape
         b = self.target_batch_pixels // max(1, h * w)
-        b = (b // 8) * 8  # sublane-friendly
-        return int(max(8, min(self.batch_size, b)))
+        b = (b // m) * m
+        cap = max(m, (self.batch_size // m) * m)
+        return int(max(m, min(cap, b)))
 
     def __len__(self) -> int:
         total = 0

@@ -28,6 +28,40 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = "data") -> Me
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def auto_mesh(devices: str = "auto", axis_name: str = "data") -> Optional[Mesh]:
+    """Mesh policy for the CLI/script surface: DP on by default.
+
+    ``devices``:
+        "auto" — a 1-D data mesh over ALL visible devices when there is
+                 more than one (a v5e-8 user running ``python train.py``
+                 gets all 8 chips); None on a single device (the plain
+                 jit path, no mesh overhead);
+        "1"    — opt out: always single-device, no mesh;
+        "N"    — mesh over the first N devices (N <= jax.device_count()).
+    """
+    spec = str(devices).strip().lower()
+    if spec in ("1", "none", "off"):
+        return None
+    avail = jax.devices()
+    if spec == "auto":
+        return make_mesh(avail, axis_name) if len(avail) > 1 else None
+    n = int(spec)
+    if n <= 1:
+        return None
+    if n > len(avail):
+        raise ValueError(f"--devices {n} requested but only {len(avail)} visible")
+    return make_mesh(avail[:n], axis_name)
+
+
+def round_batch_to_mesh(batch_size: int, mesh: Optional[Mesh]) -> int:
+    """Round a global batch size up to a multiple of the mesh size so the
+    sharded batch axis divides evenly across chips."""
+    if mesh is None:
+        return batch_size
+    n = mesh.devices.size
+    return ((batch_size + n - 1) // n) * n
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) axis across the mesh."""
     return NamedSharding(mesh, P(axis_name))

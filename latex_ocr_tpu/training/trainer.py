@@ -198,9 +198,15 @@ class Trainer:
                     profiler.maybe_stop(step)
             prog.update(n_batches, [])
             elapsed = time.time() - tic
-            self.logger.info(
-                f"- Training: {prog.info} ({n_images / max(1e-6, elapsed):.1f} img/s)"
-            )
+            rate = n_images / max(1e-6, elapsed)
+            if self.mesh is not None:
+                n_chips = int(self.mesh.devices.size)
+                self.logger.info(
+                    f"- Training: {prog.info} ({rate:.1f} img/s = "
+                    f"{rate / n_chips:.1f} img/s/chip over {n_chips} chips)"
+                )
+            else:
+                self.logger.info(f"- Training: {prog.info} ({rate:.1f} img/s)")
 
             # ---- evaluation on val: decode + metrics, select on perplexity.
             # eval_every > 1 skips the (expensive) full-val decode on

@@ -56,7 +56,17 @@ ap.add_argument("--decoder-arch", default="attn_lstm",
 ap.add_argument("--transformer-config", default=None,
                 help='JSON dict overriding models/transformer.py defaults, '
                      'e.g. \'{"num_layers": 4, "dim_model": 256}\'')
+ap.add_argument("--devices", default="auto",
+                help="data-parallel mesh: 'auto' = all visible chips, '1' "
+                     "opts out, 'N' = first N devices (parallel/mesh.py)")
 args = ap.parse_args()
+
+from latex_ocr_tpu.parallel.mesh import auto_mesh, batch_sharding, round_batch_to_mesh
+mesh = auto_mesh(args.devices)
+if mesh is not None:
+    args.batch_size = round_batch_to_mesh(args.batch_size, mesh)
+    print(f"data-parallel mesh: {mesh.devices.size} devices, "
+          f"global batch {args.batch_size}", flush=True)
 
 base = args.data_dir.rstrip("/") + "/"
 with open(base + "buckets.json") as f:
@@ -96,7 +106,10 @@ def pipe(split, shuffle):
         buckets=buckets, max_formula_len=args.max_length + 1, length_bucket=32,
         shuffle_seed=0 if shuffle else None,
         target_batch_pixels=64 * 100 * 500,
-        device_resident="auto" if split == "train" else False)
+        sharding=batch_sharding(mesh) if mesh is not None else None,
+        # device-resident HBM dataset and batch sharding are mutually
+        # exclusive; with a mesh the pipeline falls back to host assembly
+        device_resident="auto" if (split == "train" and mesh is None) else False)
 
 init_params = None
 if args.warm_start:
@@ -110,7 +123,7 @@ if args.warm_start:
 train_pipe = pipe("train", True)
 val_pipe = pipe("val", False)
 print(f"train batches/epoch: {len(train_pipe)}", flush=True)
-trainer = Trainer(model, cfg, args.out)
+trainer = Trainer(model, cfg, args.out, mesh=mesh)
 lr = LRSchedule(lr_init=args.lr_init, lr_min=args.lr_min,
                 start_decay=args.start_decay, end_decay=args.end_decay,
                 decay_rate=args.decay_on_plateau)
@@ -122,6 +135,7 @@ test_pipe = build_cached_pipeline(
     vocab.form_prepro, base + "cache_test", batch_size=args.batch_size,
     id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=args.max_length,
     buckets=buckets, max_formula_len=args.max_length + 1, length_bucket=32,
+    sharding=batch_sharding(mesh) if mesh is not None else None,
     target_batch_pixels=64 * 100 * 500)
 scores = trainer.evaluate(trainer._final_params, test_pipe, args.out + "formulas_test/")
 print("TEST:", json.dumps(scores), flush=True)

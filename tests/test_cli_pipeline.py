@@ -160,3 +160,35 @@ def test_predict_cli_one_shot(small_run):
     # model may legitimately decode an empty formula (immediate END), so
     # assert the line, not its content — quality is evaluate_txt's job.
     assert proc.stdout.endswith("\n") and proc.stdout.count("\n") == 1
+
+
+def test_train_cli_dp_mesh(small_run, tmp_path):
+    """`python train.py` on a multi-device host trains data-parallel by
+    default (VERDICT r2 missing #4): forced 8-device CPU platform, auto
+    mesh, one sharded epoch end-to-end through the real CLI."""
+    d = small_run["dir"]
+    results = f"{d}/results_dp/"
+    # reuse the snapshotted configs from the single-device run
+    snap = small_run["results"]
+    env = dict(
+        os.environ,
+        LATEX_OCR_PLATFORM="cpu",
+        JAX_PLATFORMS="cpu",
+        LATEX_OCR_NO_TB="1",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    proc = subprocess.run(
+        [sys.executable, "train.py",
+         "--data", os.path.join(snap, "data.json"),
+         "--vocab", os.path.join(snap, "vocab.json"),
+         "--training", os.path.join(snap, "training.json"),
+         "--model", os.path.join(snap, "model.json"),
+         "--output", results],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, (
+        f"stdout: {proc.stdout[-1500:]}\nstderr: {proc.stderr[-1500:]}"
+    )
+    assert "Data-parallel mesh: 8 devices" in proc.stdout
+    log = open(os.path.join(results, "model.log")).read()
+    assert "img/s/chip over 8 chips" in log
