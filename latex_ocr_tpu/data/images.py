@@ -6,9 +6,10 @@ so rendered datasets interchange: images are white-background (255) uint8,
 cropped to ink, padded +8px each side, snapped up to the first fitting bucket
 from the config bucket table, then LANCZOS-downsampled by 2.
 
-The *on-device* counterparts (uint8 -> normalized float, batch padding to a
-bucket shape) live in `latex_ocr_tpu.ops.preprocess` — the host only does
-what must touch PIL/os.
+The *on-device* counterpart (uint8 greyscale + normalize, fused into the
+encoder program) lives in `latex_ocr_tpu.ops.preprocess` — the host keeps
+only what must touch PIL/os (build-time render/crop/bucket work) plus the
+uint8 white-pad memcpy into each batch canvas.
 """
 
 from __future__ import annotations
@@ -28,13 +29,21 @@ def read_img(path: str) -> np.ndarray:
 def greyscale(state: np.ndarray) -> np.ndarray:
     """Luma transform (H, W, 3) -> (H, W, 1) uint8.
 
-    Already-grey inputs pass through with a channel axis added.
+    Already-grey inputs pass through with a channel axis added. Computed
+    in float32 so the result is bit-identical to the fused on-device path
+    (ops/preprocess.py) — f64 would round the other way at integer
+    boundaries on ~0.02% of pixels.
     """
     if state.ndim == 2:
         return state[:, :, np.newaxis].astype(np.uint8)
     if state.shape[-1] == 1:
         return state.astype(np.uint8)
-    luma = state[..., 0] * 0.299 + state[..., 1] * 0.587 + state[..., 2] * 0.114
+    x = state.astype(np.float32)
+    luma = (
+        x[..., 0] * np.float32(0.299)
+        + x[..., 1] * np.float32(0.587)
+        + x[..., 2] * np.float32(0.114)
+    )
     return luma[:, :, np.newaxis].astype(np.uint8)
 
 

@@ -148,7 +148,12 @@ def encode(
     config,
     compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Encode a uint8 image batch (B, H, W, 1) into a feature grid.
+    """Encode a uint8 image batch (B, H, W, 1|3) into a feature grid.
+
+    Preprocessing is on-device and fused into this program: 3-channel
+    inputs are luma-greyscaled and every input is normalized by
+    ``(x - 128) / 128`` (ops/preprocess.py) as part of conv1's operand —
+    no host float math, uint8 over the wire.
 
     Returns (B, H', W', 512) in ``compute_dtype`` with H' = H/8 - 2 and
     W' = W/8 - 2 across all variants (same spatial contract, so the
@@ -161,11 +166,11 @@ def encode(
         resnet   — residual basic blocks, 4 stages
         densenet — dense blocks with 1x1 transitions
     """
+    from ..ops.preprocess import greyscale_normalize
     from .positional import add_timing_signal_nd
 
     variant = getattr(config, "encoder_cnn", "vanilla")
-    x = (images_u8.astype(jnp.float32) - 128.0) / 128.0
-    x = x.astype(compute_dtype)
+    x = greyscale_normalize(images_u8, compute_dtype)
 
     if variant in ("vanilla", "cnn"):
         x = jax.nn.relu(_conv2d(x, params["conv1"]["w"], params["conv1"]["b"]))

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .data.images import greyscale
 from .data.pipeline import snap_image_shape, stored_bucket_table
 
 
@@ -36,7 +35,7 @@ class RequestTimeout(TimeoutError):
 
 @dataclass
 class _Request:
-    image: np.ndarray  # (H, W, 1) uint8
+    image: np.ndarray  # (H, W, 1|3) uint8 — raw; greyscale runs on device
     future: Future = field(default_factory=Future)
     t_submit: float = field(default_factory=time.perf_counter)
 
@@ -99,8 +98,8 @@ class LatexOCRServer:
             for name, qps in (quotas or {}).items()
         }
         self._quota_rejected = 0
-        # one queue per (model name, stored bucket shape)
-        self._queues: Dict[Tuple[str, Tuple[int, int]], queue.Queue] = {}
+        # one queue per (model name, (stored bucket H, W, channels))
+        self._queues: Dict[Tuple[str, Tuple[int, int, int]], queue.Queue] = {}
         self._metrics_httpd = None
         self._pending = 0
         self._lock = threading.Lock()
@@ -112,26 +111,35 @@ class LatexOCRServer:
         self._worker.start()
 
     # ------------------------------------------------------------------- API
-    def warmup(self) -> int:
+    def warmup(self, channels: Sequence[int] = (1,)) -> int:
         """Precompile the (model, bucket, max_batch) decode program for
         every stored bucket so no live request pays a first-compile (the
         p95 at fixed QPS otherwise carries multi-hundred-ms compile
         pollution). Returns the number of warm decode calls issued (one
-        per model x bucket; same-architecture models may hit the
-        persistent compile cache rather than recompile)."""
+        per model x bucket x channel count; same-architecture models may
+        hit the persistent compile cache rather than recompile).
+        ``channels=(1, 3)`` additionally warms the raw-RGB programs (the
+        on-device greyscale path) for clients that skip host conversion."""
         import jax.numpy as jnp
 
         shapes = self.stored_buckets or []
         n = 0
         for model, params in self.models.values():
             for H, W in shapes:
-                dummy = jnp.full((self.max_batch, H, W, 1), 255, jnp.uint8)
-                np.asarray(model.decode_step(params, dummy))  # sync
-                n += 1
+                for C in channels:
+                    dummy = jnp.full((self.max_batch, H, W, C), 255, jnp.uint8)
+                    np.asarray(model.decode_step(params, dummy))  # sync
+                    n += 1
         return n
 
     def submit(self, image: np.ndarray, model: Optional[str] = None) -> Future:
-        """Queue a raw (H, W[, 3]) uint8 image; resolves to a LaTeX string.
+        """Queue a raw (H, W[, 1|3]) uint8 image; resolves to a LaTeX string.
+
+        The request path does NO host pixel math: RGB inputs go to the
+        device as-is and the luma greyscale + normalize run fused inside
+        the decode program (ops/preprocess.py). Requests batch per
+        (model, bucket, channels) so grey and RGB traffic each reuse their
+        own compiled program.
 
         ``model`` selects which registered model serves the request
         (defaults to the first one). Raises RuntimeError after close();
@@ -144,8 +152,10 @@ class LatexOCRServer:
         name = self.default_model if model is None else model
         if name not in self.models:
             raise KeyError(f"unknown model {name!r}; have {sorted(self.models)}")
-        img = greyscale(image)
-        shape = snap_image_shape(img.shape[:2], self.stored_buckets)
+        img = image[:, :, None] if image.ndim == 2 else image
+        if img.shape[-1] not in (1, 3):
+            raise ValueError(f"expected 1 or 3 channels, got {img.shape[-1]}")
+        shape = snap_image_shape(img.shape[:2], self.stored_buckets) + (img.shape[-1],)
         req = _Request(img)
         with self._lock:
             # re-check under the lock: close() drains queues under this
@@ -247,9 +257,11 @@ class LatexOCRServer:
                 time.sleep(0.001)
 
     def _decode_batch(self, key, reqs: List[_Request], jnp) -> None:
-        name, (H, W) = key
+        name, (H, W, C) = key
         model, params = self.models[name]
-        batch = np.full((self.max_batch, H, W, 1), 255, np.uint8)
+        # host side is a pure uint8 memcpy into the white canvas; all pixel
+        # math (greyscale, normalize) happens on device inside decode_step
+        batch = np.full((self.max_batch, H, W, C), 255, np.uint8)
         for i, r in enumerate(reqs):
             h, w = r.image.shape[:2]
             batch[i, :h, :w] = r.image
