@@ -61,16 +61,39 @@ def init_decoder_params(rng, config, n_tok: int, n_channels: int = 512) -> Dict:
     dim_o = cfg["dim_o"]
     dim_emb = cfg["dim_embeddings"]
     num_units = cfg["num_units"]
+    cell_type = cfg.get("cell_type", "lstm")
+    if cell_type not in ("lstm", "gru"):
+        raise NotImplementedError(f"Unknown cell_type {cell_type!r}")
 
     ks = iter(jax.random.split(rng, 16))
+    dim_in = dim_emb + dim_o
+    if cell_type == "gru":
+        # torch.nn.GRUCell layout/semantics (gate order r, z, n; separate
+        # input/hidden biases so the reset gate can scale the hidden
+        # candidate term alone). The reference imports GRUCell but never
+        # selects it (reference decoder.py:5, hardwired LSTM at :55) —
+        # this closes that latent config surface (BASELINE config #1
+        # "attention-GRU"); parity pinned in tests/test_torch_parity.py.
+        cell = {
+            "gru": {
+                "w_ih": _glorot_uniform(next(ks), (dim_in, 3 * num_units)),
+                "w_hh": _glorot_uniform(next(ks), (num_units, 3 * num_units)),
+                "b_ih": jnp.zeros((3 * num_units,), jnp.float32),
+                "b_hh": jnp.zeros((3 * num_units,), jnp.float32),
+            }
+        }
+    else:
+        # TF1 LSTMCell layout: one kernel over [x; h], gate order (i, j, f, o)
+        cell = {
+            "lstm": {
+                "w": _glorot_uniform(next(ks), (dim_in + num_units, 4 * num_units)),
+                "b": jnp.zeros((4 * num_units,), jnp.float32),
+            }
+        }
     params = {
         "embedding_table": _embedding_init(next(ks), (n_tok, dim_emb)),
         "start_token": _embedding_init(next(ks), (1, dim_emb))[0],
-        # TF1 LSTMCell layout: one kernel over [x; h], gate order (i, j, f, o)
-        "lstm": {
-            "w": _glorot_uniform(next(ks), (dim_emb + dim_o + num_units, 4 * num_units)),
-            "b": jnp.zeros((4 * num_units,), jnp.float32),
-        },
+        **cell,
         "att": {
             "img_w": _glorot_uniform(next(ks), (n_channels, dim_e)),
             "h_w": _glorot_uniform(next(ks), (num_units, dim_e)),
@@ -114,6 +137,38 @@ def lstm_step(
     new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
     new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
     return new_c, new_h
+
+
+def gru_step(
+    gru_params: Dict, x: jnp.ndarray, h: jnp.ndarray
+) -> jnp.ndarray:
+    """torch.nn.GRUCell-compatible step (gate order r, z, n; the reset gate
+    scales the *post-matmul* hidden candidate, torch convention):
+
+        r = sigmoid(x@W_ir + b_ir + h@W_hr + b_hr)
+        z = sigmoid(x@W_iz + b_iz + h@W_hz + b_hz)
+        n = tanh(x@W_in + b_in + r * (h@W_hn + b_hn))
+        h' = (1 - z) * n + z * h
+    """
+    dtype = x.dtype
+    gi = x @ gru_params["w_ih"].astype(dtype) + gru_params["b_ih"].astype(dtype)
+    gh = h @ gru_params["w_hh"].astype(dtype) + gru_params["b_hh"].astype(dtype)
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def recurrent_step(
+    dec_params: Dict, x: jnp.ndarray, state: "AttnState"
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dispatch on the configured cell family. Returns (new_c, new_h);
+    for GRU the cell state is unused and passed through unchanged."""
+    if "gru" in dec_params:
+        return state.c, gru_step(dec_params["gru"], x, state.h)
+    return lstm_step(dec_params["lstm"], x, state.c, state.h)
 
 
 def flatten_regions(img_feat: jnp.ndarray) -> jnp.ndarray:
@@ -210,11 +265,17 @@ def attn_cell_step(
     dropout_rng=None,
     keep_prob: float = 1.0,
     use_pallas: bool = False,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
-    """One decoder step. Returns (logits (B, V), new_state, attn (B, R))."""
+    """One decoder step. Returns (logits (B, V), new_state, attn (B, R)).
+
+    ``attn_fn`` overrides the attention-context computation (same
+    signature/contract as ``attention_context``) — the hook through which
+    ``region_parallel`` routes the region-sharded shard_map attention
+    (parallel/region_attention.py)."""
     dt = regions.dtype
     x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
-    new_c, new_h = lstm_step(dec_params["lstm"], x, state.c, state.h)
+    new_c, new_h = recurrent_step(dec_params, x, state)
 
     if dropout_rng is not None:
         k1, k2 = jax.random.split(dropout_rng)
@@ -222,7 +283,9 @@ def attn_cell_step(
         k1 = k2 = None
     new_h = _dropout(new_h, k1, keep_prob)
 
-    if use_pallas:
+    if attn_fn is not None:
+        ctx, attn = attn_fn(dec_params, att_img, regions, new_h)
+    elif use_pallas:
         from ..ops.attention import fused_attention_context
 
         att_h = new_h @ dec_params["att"]["h_w"].astype(dt)
@@ -261,7 +324,7 @@ def attn_cell_step_beam(
     """
     dt = regions.dtype
     x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
-    new_c, new_h = lstm_step(dec_params["lstm"], x, state.c, state.h)
+    new_c, new_h = recurrent_step(dec_params, x, state)
 
     if use_pallas:
         from ..ops.attention import fused_attention_context
@@ -306,6 +369,7 @@ def teacher_forcing_logits(
     keep_prob: float = 1.0,
     return_attention: bool = False,
     remat: Optional[bool] = None,
+    attn_fn=None,
 ):
     """Full teacher-forced forward pass as one `lax.scan`.
 
@@ -344,6 +408,7 @@ def teacher_forcing_logits(
             regions,
             dropout_rng=rng_t if use_dropout else None,
             keep_prob=keep_prob,
+            attn_fn=attn_fn,
         )
         out = (logits, attn) if return_attention else (logits, jnp.zeros((), logits.dtype))
         return new_state, out

@@ -57,10 +57,13 @@ def decode_greedy(
     max_length: int,
     id_end: int,
     use_pallas: bool = False,
+    attn_fn=None,
 ) -> jnp.ndarray:
     """Greedy argmax decode. Returns ids (B, max_length) int32.
 
     Positions at/after each sequence's END are filled with ``id_end``.
+    ``attn_fn`` routes the per-step attention through a custom context fn
+    (the region-sharded path, parallel/region_attention.py).
     """
     regions = flatten_regions(img_feat)
     att_img = compute_att_img(dec_params, regions)
@@ -79,7 +82,8 @@ def decode_greedy(
     def body(carry):
         t, state, emb, finished, ids = carry
         logits, new_state, _ = attn_cell_step(
-            dec_params, emb, state, att_img, regions, use_pallas=use_pallas
+            dec_params, emb, state, att_img, regions, use_pallas=use_pallas,
+            attn_fn=attn_fn,
         )
         new_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # keep emitting END once finished so the output stays truncatable

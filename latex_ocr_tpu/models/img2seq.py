@@ -59,7 +59,8 @@ def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.Gradien
 class Img2SeqModel:
     """Functional Img2Seq model with a jit-cached program per batch shape."""
 
-    def __init__(self, config, vocab, compute_dtype=jnp.float32, decoder_dtype=None):
+    def __init__(self, config, vocab, compute_dtype=jnp.float32, decoder_dtype=None,
+                 mesh=None):
         self.config = config
         self.vocab = vocab
         self.compute_dtype = compute_dtype
@@ -81,6 +82,11 @@ class Img2SeqModel:
         self.decoder_arch = getattr(config, "decoder_arch", "attn_lstm")
         if self.decoder_arch not in ("attn_lstm", "transformer"):
             raise NotImplementedError(f"Unknown decoder_arch {self.decoder_arch}")
+        self.cell_type = "lstm"
+        if self.decoder_arch == "attn_lstm":
+            self.cell_type = (getattr(config, "attn_cell_config", None) or {}).get(
+                "cell_type", "lstm"
+            )
         if self.decoder_arch == "transformer":
             from .transformer import transformer_cfg
 
@@ -119,6 +125,52 @@ class Img2SeqModel:
         self.use_train_megakernel = bool(
             getattr(config, "use_train_megakernel", False)
         )
+        if self.cell_type == "gru":
+            # the decode/train megakernels hand-roll the TF1 LSTM gates in
+            # Pallas; GRU runs the XLA while_loop/scan paths (the fused
+            # Pallas attention context is cell-agnostic and stays on)
+            self.use_megakernel = False
+            self.use_train_megakernel = False
+        # Sequence parallelism over image regions (SURVEY §2.3 SP row):
+        # `region_parallel: true` + a mesh carrying a "region" axis routes
+        # every Bahdanau context (teacher forcing AND greedy decode)
+        # through the shard_map online-softmax attention
+        # (parallel/region_attention.py) — R shards across chips, the
+        # softmax reassembles via pmax/psum over ICI, and a 2-D
+        # ("data", "region") mesh composes it with DP batch sharding.
+        # Meant for the largest buckets (R ~ 10^4) on small-HBM chips.
+        self.region_parallel = bool(getattr(config, "region_parallel", False))
+        self.mesh = mesh
+        self._attn_fn = None
+        if self.region_parallel:
+            if self.decoder_arch != "attn_lstm":
+                raise NotImplementedError(
+                    "region_parallel shards the Bahdanau attention of the "
+                    "attn_lstm family; the transformer family shards over "
+                    "heads/batch instead"
+                )
+            if mesh is None or "region" not in mesh.axis_names:
+                raise ValueError(
+                    "region_parallel: true requires Img2SeqModel(..., mesh=) "
+                    "with a 'region' axis, e.g. "
+                    "Mesh(devices.reshape(d, r), ('data', 'region'))"
+                )
+            if self.decoding == "beam_search":
+                raise NotImplementedError(
+                    "region_parallel decode is greedy-only; set decoding: "
+                    "'greedy' (beam's (B, K) state needs the beam-aware "
+                    "sharded context — not yet built)"
+                )
+            from ..parallel.region_attention import make_region_attn_fn
+
+            self._attn_fn = make_region_attn_fn(
+                mesh,
+                batch_axis="data" if "data" in mesh.axis_names else None,
+            )
+            # the fused single-device attention kernels assume local full-R
+            self.use_pallas = False
+            self.use_megakernel = False
+            self.use_train_megakernel = False
         self._opt_spec = None
         self._jit_key_cache = None
 
@@ -148,6 +200,7 @@ class Img2SeqModel:
                 self.use_pallas,
                 self.use_megakernel,
                 self.use_train_megakernel,
+                self.mesh,  # region_parallel programs close over the mesh
             )
         return self._jit_key_cache + (self._opt_spec,)
 
@@ -195,6 +248,7 @@ class Img2SeqModel:
         return teacher_forcing_logits(
             dec_params, feat, formula, dropout_rng=dropout_rng,
             keep_prob=keep_prob, return_attention=return_attention,
+            attn_fn=self._attn_fn,
         )
 
     def _loss_fn(self, params, batch, dropout_rng, keep_prob):
@@ -294,7 +348,7 @@ class Img2SeqModel:
             )
         return decode_greedy(
             dec_params, feat, self.max_length, self.id_end,
-            use_pallas=self.use_pallas,
+            use_pallas=self.use_pallas, attn_fn=self._attn_fn,
         )
 
     def _beam(self, dec_params: Dict, feat: jnp.ndarray):

@@ -76,3 +76,77 @@ def attention_context_region_sharded(
         in_specs=(P(None, axis_name), P(None, axis_name), P(), P(), P()),
         out_specs=(P(), P(None, axis_name)),
     )(att_img, regions, h, h_w, beta)
+
+
+def make_region_attn_fn(
+    mesh: Mesh,
+    batch_axis: str | None = None,
+    axis_name: str = "region",
+):
+    """Build a drop-in replacement for ``models.decoder.attention_context``
+    with the region axis sharded over ``mesh[axis_name]`` — the user-facing
+    integration behind ``config.region_parallel``.
+
+    ``batch_axis`` composes SP with DP on a 2-D (data, region) mesh: batch
+    rows shard over ``batch_axis`` while each row's regions shard over
+    ``axis_name``, so the Bahdanau softmax's psum collectives ride only the
+    region submesh. The returned fn is differentiable (shard_map + psum
+    have transpose rules), so it serves teacher-forced training as well as
+    decode.
+
+    Weights are returned fully materialized ((B, R), same contract as the
+    unsharded fn) — XLA keeps them region-sharded under jit; they are only
+    all-gathered if a consumer (alpha_c regularizer, visualization) asks
+    for them.
+    """
+    b = batch_axis
+    n_region = int(mesh.shape[axis_name])
+
+    def attn_fn(dec_params, att_img, regions, h):
+        att = dec_params["att"]
+        R = att_img.shape[1]
+        # the bucket tables produce arbitrary R = (H/8-2)(W/8-2); pad the
+        # region axis up to the mesh multiple and mask the tail to -inf so
+        # every bucket shards (e.g. R=92 on an 8-way region mesh -> 96)
+        pad = (-R) % n_region
+        if pad:
+            att_img = jnp.pad(att_img, ((0, 0), (0, pad), (0, 0)))
+            regions = jnp.pad(regions, ((0, 0), (0, pad), (0, 0)))
+        Rs = (R + pad) // n_region
+
+        def local(att_img_s, regions_s, h_r, h_w_r, beta_r):
+            att_h = h_r @ h_w_r.astype(h_r.dtype)  # (B/n_d, dim_e)
+            e = jnp.tanh(att_img_s + att_h[:, None, :])
+            scores = (e @ beta_r.astype(e.dtype)).astype(jnp.float32)
+            if pad:
+                pos = jax.lax.axis_index(axis_name) * Rs + jnp.arange(Rs)
+                scores = jnp.where(pos[None, :] < R, scores, jnp.float32(-1e30))
+            # global max via all_gather+max rather than pmax: the stability
+            # shift cancels in the softmax (stop_gradient makes that
+            # explicit), and pmax has no JAX differentiation rule while
+            # all_gather does — this keeps the whole attn_fn trainable
+            m = jax.lax.stop_gradient(
+                jnp.max(
+                    jax.lax.all_gather(jnp.max(scores, axis=-1), axis_name),
+                    axis=0,
+                )
+            )
+            ex = jnp.exp(scores - m[:, None])
+            denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis_name)
+            a = (ex / denom[:, None]).astype(regions_s.dtype)
+            ctx = jax.lax.psum(
+                jnp.einsum("br,brc->bc", a.astype(jnp.float32),
+                           regions_s.astype(jnp.float32)),
+                axis_name,
+            )
+            return ctx.astype(regions_s.dtype), a
+
+        ctx, a = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(b, axis_name), P(b, axis_name), P(b), P(), P()),
+            out_specs=(P(b), P(b, axis_name)),
+        )(att_img, regions, h, att["h_w"], att["beta"])
+        return ctx, a[:, :R]
+
+    return attn_fn
