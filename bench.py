@@ -24,7 +24,11 @@ import numpy as np
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main(n_real_tokens: int = 500, decoder_arch: str = "attn_lstm") -> None:
+def main(
+    n_real_tokens: int = 500,
+    decoder_arch: str = "attn_lstm",
+    transformer_config: dict = None,
+) -> None:
     """``n_real_tokens`` defaults to 500 (the im2latex vocab scale, and the
     round-1 bench workload — kept for round-over-round comparability).
     Passing 509 (+3 specials = 512, what data/vocab.py:pad_vocab lane-aligns
@@ -51,6 +55,8 @@ def main(n_real_tokens: int = 500, decoder_arch: str = "attn_lstm") -> None:
     model_cfg = dict(ge.FLAGSHIP_MODEL)
     if decoder_arch == "transformer":
         model_cfg["decoder_arch"] = "transformer"
+        if transformer_config:
+            model_cfg["transformer_config"] = transformer_config
     config = Config(model_cfg)
     vocab = ge._make_vocab(n_real_tokens)
     model = Img2SeqModel(config, vocab, compute_dtype=jnp.bfloat16)
@@ -107,11 +113,19 @@ def main(n_real_tokens: int = 500, decoder_arch: str = "attn_lstm") -> None:
 
     images_per_sec = B * n_steps / elapsed
     arch_tag = "" if decoder_arch == "attn_lstm" else f", {decoder_arch} decoder"
+    if decoder_arch == "transformer" and transformer_config:
+        arch_tag += " " + json.dumps(transformer_config, sort_keys=True)
     out = {
         "metric": f"train images/sec/chip (bucket 400x100, T={T}, B={B}, bf16{arch_tag})",
         "value": round(float(images_per_sec), 2),
         "unit": "images/sec",
         "vs_baseline": round(float(images_per_sec) / 50.0, 2),
+        # the reference publishes no throughput (SURVEY.md §6); 50 img/s is
+        # a documented ESTIMATE of its consumer-GPU TF1 trainer, so the
+        # multiplier is an estimate — the absolute img/s and MFU above are
+        # the measured, defensible numbers (scripts/bench_torch_reference.py
+        # grounds the order of magnitude with a torch stand-in)
+        "vs_baseline_note": "vs documented 50 img/s estimate, not a measurement",
     }
     if flops_per_step is not None:
         achieved = flops_per_step * n_steps / elapsed
@@ -121,9 +135,98 @@ def main(n_real_tokens: int = 500, decoder_arch: str = "attn_lstm") -> None:
     print(json.dumps(out))
 
 
+def main_dp_scaling(n_devices: int) -> None:
+    """DP weak-scaling on an n-device mesh: per-chip batch held fixed,
+    throughput measured on a 1-device mesh vs the full mesh. Real pods are
+    not reachable from this host, so the mesh is the virtual CPU platform
+    (``--xla_force_host_platform_device_count``) — the numbers measure the
+    sharded program's *scaling efficiency* (collective + infeed overhead),
+    not TPU img/s; absolute chip throughput is the default bench. Re-execs
+    itself under a forced CPU platform when the current backend can't host
+    the mesh (same pattern as __graft_entry__.dryrun_multichip)."""
+    import os
+    import subprocess
+    import sys
+
+    probe = subprocess.run(  # cheap check without initializing jax here
+        [sys.executable, "-c", "import jax; print(jax.device_count())"],
+        capture_output=True, text=True,
+        env=dict(os.environ, JAX_PLATFORMS=os.environ.get("JAX_PLATFORMS", "")),
+    )
+    have = int(probe.stdout.strip() or 0) if probe.returncode == 0 else 0
+    if have < n_devices:
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={n_devices}",
+            LATEX_OCR_PLATFORM="cpu",
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--devices", str(n_devices)],
+            env=env, text=True, timeout=1800,
+        )
+        sys.exit(proc.returncode)
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as ge
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from latex_ocr_tpu.utils import Config
+
+    # flagship architecture, CPU-sized shapes; fp32 (CPU bf16 is emulated)
+    B_per, H, W, T = 8, 64, 128, 16
+    config = Config(dict(ge.FLAGSHIP_MODEL, max_length_formula=T - 1))
+    vocab = ge._make_vocab(100)
+    model = Img2SeqModel(config, vocab)
+
+    def measure(n: int) -> float:
+        mesh = make_mesh(jax.devices()[:n])
+        params = replicate(model.init_params(jax.random.PRNGKey(0)), mesh)
+        opt_state = replicate(model.init_optimizer(params, "adam", clip=-1), mesh)
+        host = ge._make_batch(B_per * n, H, W, T, vocab.n_tok, vocab.id_end)
+        batch = shard_batch(host, mesh)
+        lr = jnp.float32(1e-3)
+        rng = jax.random.PRNGKey(1)
+        p, o = params, opt_state
+        for i in range(3):  # compile + settle
+            p, o, m = model.train_step(p, o, batch, lr, jax.random.fold_in(rng, i), 1.0)
+        _ = float(m["loss"])
+        n_steps = 8
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            p, o, m = model.train_step(p, o, batch, lr, jax.random.fold_in(rng, i), 1.0)
+        _ = float(m["loss"])
+        return B_per * n * n_steps / (time.perf_counter() - t0)
+
+    one = measure(1)
+    full = measure(n_devices)
+    eff = 100.0 * (full / n_devices) / one
+    print(json.dumps({
+        "metric": f"DP weak-scaling efficiency ({n_devices}-device virtual CPU mesh, "
+                  f"per-chip batch {B_per})",
+        "value": round(eff, 1),
+        "unit": "%",
+        "vs_baseline": round(full / one, 2),
+        "img_per_sec_1dev": round(one, 2),
+        f"img_per_sec_{n_devices}dev": round(full, 2),
+    }))
+
+
 if __name__ == "__main__":
     import sys
 
-    args = [a for a in sys.argv[1:] if a != "--transformer"]
-    arch = "transformer" if "--transformer" in sys.argv[1:] else "attn_lstm"
-    main(int(args[0]) if args else 500, decoder_arch=arch)
+    argv = sys.argv[1:]
+    if "--devices" in argv:
+        i = argv.index("--devices")
+        main_dp_scaling(int(argv[i + 1]))
+        sys.exit(0)
+    tf_cfg = None
+    if "--transformer-config" in argv:
+        i = argv.index("--transformer-config")
+        tf_cfg = json.loads(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    arch = "transformer" if "--transformer" in argv else "attn_lstm"
+    args = [a for a in argv if a != "--transformer"]
+    main(int(args[0]) if args else 500, decoder_arch=arch, transformer_config=tf_cfg)

@@ -234,3 +234,50 @@ def test_beam_length_norm_reranking(dec_params):
     again = decode_beam(dec_params, feat, 8, ID_END, beam_size=3,
                         length_norm_alpha=0.0)
     np.testing.assert_array_equal(np.asarray(raw.ids), np.asarray(again.ids))
+
+
+def test_gru_cell_train_and_decode():
+    """cell_type: 'gru' (BASELINE config #1 'attention-GRU'; the reference
+    imports GRUCell but never wires it, reference decoder.py:5): one train
+    step reduces loss on repetition and both decode modes run."""
+    import jax
+    import numpy as np
+
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.utils import Config
+
+    config = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "attn_cell_config": {"cell_type": "gru", "num_units": 16, "dim_e": 8,
+                              "dim_o": 16, "dim_embeddings": 8},
+        "decoding": "beam_search", "beam_size": 2, "div_gamma": 1,
+        "div_prob": 0, "max_length_formula": 8,
+    })
+
+    class _V:
+        tok_to_id = {f"t{i}": i for i in range(8)}
+        id_to_tok = {i: f"t{i}" for i in range(8)}
+        n_tok, id_unk, id_pad, id_end = 8, 5, 6, 7
+
+    model = Img2SeqModel(config, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "gru" in params["decoder"] and "lstm" not in params["decoder"]
+    opt = model.init_optimizer(params, "adam", clip=5.0)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.integers(0, 256, size=(2, 40, 48, 1)).astype(np.uint8),
+        "formula": rng.integers(0, 5, size=(2, 6)).astype(np.int32),
+        "length": np.asarray([6, 5], np.int32),
+    }
+    losses = []
+    import jax.numpy as jnp
+    for i in range(8):
+        params, opt, m = model.train_step(
+            params, opt, batch, jnp.float32(1e-2), jax.random.PRNGKey(i), 1.0
+        )
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+
+    ids = np.asarray(model.decode_step(params, batch["image"]))
+    assert ids.shape[:2] == (2, 2)  # beam_size hyps

@@ -76,3 +76,31 @@ def test_conv2d_matches_torch():
     y_torch = y_t.numpy().transpose(0, 2, 3, 1)
 
     np.testing.assert_allclose(y_jax, y_torch, rtol=1e-4, atol=1e-4)
+
+
+def test_gru_step_matches_torch_grucell():
+    """Our GRU step == torch.nn.GRUCell with directly-mapped weights
+    (same layout: gate order (r, z, n), separate ih/hh biases, reset gate
+    applied to the post-matmul hidden candidate)."""
+    from latex_ocr_tpu.models.decoder import gru_step
+
+    torch.manual_seed(3)
+    in_dim, units, B = 24, 32, 4
+    cell = torch.nn.GRUCell(in_dim, units)
+
+    params = {
+        "w_ih": jnp.asarray(cell.weight_ih.detach().numpy().T),  # (in, 3U)
+        "w_hh": jnp.asarray(cell.weight_hh.detach().numpy().T),
+        "b_ih": jnp.asarray(cell.bias_ih.detach().numpy()),
+        "b_hh": jnp.asarray(cell.bias_hh.detach().numpy()),
+    }
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(B, in_dim)).astype(np.float32)
+    h0 = rng.normal(size=(B, units)).astype(np.float32)
+
+    with torch.no_grad():
+        h_t = cell(torch.from_numpy(x), torch.from_numpy(h0))
+    h_j = gru_step(params, jnp.asarray(x), jnp.asarray(h0))
+
+    np.testing.assert_allclose(np.asarray(h_j), h_t.numpy(), rtol=1e-5, atol=1e-5)
