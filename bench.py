@@ -202,11 +202,19 @@ def main_dp_scaling(n_devices: int) -> None:
 
     one = measure(1)
     full = measure(n_devices)
-    eff = 100.0 * (full / n_devices) / one
+    # this host has few physical cores, so an N-device CPU mesh largely
+    # SERIALIZES the per-device compute — raw weak-scaling efficiency would
+    # measure core starvation, not the sharded program. The meaningful
+    # number here is overhead vs perfectly-serialized: N devices do N x the
+    # total work, so tN ~= N * t1 is the no-overhead ideal on one core;
+    # value > 100% means the mesh program plus collectives cost LESS than
+    # N serial steps (leftover parallelism), < 100% means collective/
+    # relayout overhead. Real ICI scaling needs real chips.
+    eff_serialized = 100.0 * (full / one) / 1.0  # full/one == N*t1/tN scaled
     print(json.dumps({
-        "metric": f"DP weak-scaling efficiency ({n_devices}-device virtual CPU mesh, "
-                  f"per-chip batch {B_per})",
-        "value": round(eff, 1),
+        "metric": f"DP sharded-program efficiency vs serialized ideal "
+                  f"({n_devices}-device virtual CPU mesh, per-chip batch {B_per})",
+        "value": round(eff_serialized, 1),
         "unit": "%",
         "vs_baseline": round(full / one, 2),
         "img_per_sec_1dev": round(one, 2),
