@@ -312,6 +312,7 @@ def attn_cell_step_beam(
     att_img: jnp.ndarray,  # (B, R, dim_e) un-tiled
     regions: jnp.ndarray,  # (B, R, C)     un-tiled
     use_pallas: bool = False,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, AttnState, jnp.ndarray]:
     """Beam-axis decoder step (inference only — no dropout).
 
@@ -326,7 +327,9 @@ def attn_cell_step_beam(
     x = jnp.concatenate([emb.astype(dt), state.o], axis=-1)
     new_c, new_h = recurrent_step(dec_params, x, state)
 
-    if use_pallas:
+    if attn_fn is not None:
+        ctx, attn = attn_fn(dec_params, att_img, regions, new_h)
+    elif use_pallas:
         from ..ops.attention import fused_attention_context
 
         B, K, _ = new_h.shape

@@ -104,6 +104,7 @@ def decode_greedy_with_attention(
     img_feat: jnp.ndarray,
     max_length: int,
     id_end: int,
+    attn_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode that also returns per-step attention maps.
 
@@ -127,7 +128,9 @@ def decode_greedy_with_attention(
 
     def step(carry, _):
         state, emb, finished = carry
-        logits, new_state, attn = attn_cell_step(dec_params, emb, state, att_img, regions)
+        logits, new_state, attn = attn_cell_step(
+            dec_params, emb, state, att_img, regions, attn_fn=attn_fn
+        )
         new_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         new_ids = jnp.where(finished, jnp.int32(id_end), new_ids)
         new_finished = jnp.logical_or(finished, new_ids == id_end)
@@ -184,6 +187,7 @@ def decode_beam(
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
     length_norm_alpha: float = 0.0,
+    attn_fn=None,
 ) -> BeamOutput:
     """Batched beam search, fully on device. Returns aligned beams (B, K, T).
 
@@ -233,7 +237,8 @@ def decode_beam(
         t, state, emb, log_probs, finished, lengths, ids_buf, parents_buf, step_rng = carry
 
         logits, new_state, _ = attn_cell_step_beam(
-            dec_params, emb, state, att_img, regions, use_pallas=use_pallas
+            dec_params, emb, state, att_img, regions, use_pallas=use_pallas,
+            attn_fn=attn_fn,
         )
         step_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)  # (B, K, V)
         step_logp = _mask_finished(step_logp, finished, id_end)

@@ -133,7 +133,7 @@ class Img2SeqModel:
             self.use_train_megakernel = False
         # Sequence parallelism over image regions (SURVEY §2.3 SP row):
         # `region_parallel: true` + a mesh carrying a "region" axis routes
-        # every Bahdanau context (teacher forcing AND greedy decode)
+        # every Bahdanau context (teacher forcing, greedy AND beam decode)
         # through the shard_map online-softmax attention
         # (parallel/region_attention.py) — R shards across chips, the
         # softmax reassembles via pmax/psum over ICI, and a 2-D
@@ -154,12 +154,6 @@ class Img2SeqModel:
                     "region_parallel: true requires Img2SeqModel(..., mesh=) "
                     "with a 'region' axis, e.g. "
                     "Mesh(devices.reshape(d, r), ('data', 'region'))"
-                )
-            if self.decoding == "beam_search":
-                raise NotImplementedError(
-                    "region_parallel decode is greedy-only; set decoding: "
-                    "'greedy' (beam's (B, K) state needs the beam-aware "
-                    "sharded context — not yet built)"
                 )
             from ..parallel.region_attention import make_region_attn_fn
 
@@ -379,6 +373,7 @@ class Img2SeqModel:
             self.beam_size, self.div_gamma, self.div_prob,
             use_pallas=self.use_pallas,
             length_norm_alpha=self.length_norm_alpha,
+            attn_fn=self._attn_fn,
         )
 
     # ------------------------------------------------------------- decode
@@ -404,7 +399,8 @@ class Img2SeqModel:
                 num_heads=self.num_heads,
             )
         return decode_greedy_with_attention(
-            params["decoder"], feat, self.max_length, self.id_end
+            params["decoder"], feat, self.max_length, self.id_end,
+            attn_fn=self._attn_fn,
         )
 
     # --------------------------------------------------------- host utils

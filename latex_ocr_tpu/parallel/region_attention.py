@@ -103,7 +103,12 @@ def make_region_attn_fn(
     n_region = int(mesh.shape[axis_name])
 
     def attn_fn(dec_params, att_img, regions, h):
+        """h: (B, U) — per-batch query — or (B, K, U) — beam query (the
+        image tensors stay un-tiled, matching attention_context_beam's
+        broadcast-over-beams contract). Returns (ctx, weights) with the
+        leading shape of h."""
         att = dec_params["att"]
+        beam = h.ndim == 3
         R = att_img.shape[1]
         # the bucket tables produce arbitrary R = (H/8-2)(W/8-2); pad the
         # region axis up to the mesh multiple and mask the tail to -inf so
@@ -115,12 +120,15 @@ def make_region_attn_fn(
         Rs = (R + pad) // n_region
 
         def local(att_img_s, regions_s, h_r, h_w_r, beta_r):
-            att_h = h_r @ h_w_r.astype(h_r.dtype)  # (B/n_d, dim_e)
-            e = jnp.tanh(att_img_s + att_h[:, None, :])
+            att_h = h_r @ h_w_r.astype(h_r.dtype)  # (B/n_d, [K,] dim_e)
+            if beam:
+                e = jnp.tanh(att_img_s[:, None, :, :] + att_h[:, :, None, :])
+            else:
+                e = jnp.tanh(att_img_s + att_h[:, None, :])
             scores = (e @ beta_r.astype(e.dtype)).astype(jnp.float32)
             if pad:
                 pos = jax.lax.axis_index(axis_name) * Rs + jnp.arange(Rs)
-                scores = jnp.where(pos[None, :] < R, scores, jnp.float32(-1e30))
+                scores = jnp.where(pos < R, scores, jnp.float32(-1e30))
             # global max via all_gather+max rather than pmax: the stability
             # shift cancels in the softmax (stop_gradient makes that
             # explicit), and pmax has no JAX differentiation rule while
@@ -131,22 +139,24 @@ def make_region_attn_fn(
                     axis=0,
                 )
             )
-            ex = jnp.exp(scores - m[:, None])
+            ex = jnp.exp(scores - m[..., None])
             denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis_name)
-            a = (ex / denom[:, None]).astype(regions_s.dtype)
+            a = (ex / denom[..., None]).astype(regions_s.dtype)
+            eq = "bkr,brc->bkc" if beam else "br,brc->bc"
             ctx = jax.lax.psum(
-                jnp.einsum("br,brc->bc", a.astype(jnp.float32),
+                jnp.einsum(eq, a.astype(jnp.float32),
                            regions_s.astype(jnp.float32)),
                 axis_name,
             )
             return ctx.astype(regions_s.dtype), a
 
+        a_spec = P(b, None, axis_name) if beam else P(b, axis_name)
         ctx, a = shard_map(
             local,
             mesh=mesh,
             in_specs=(P(b, axis_name), P(b, axis_name), P(b), P(), P()),
-            out_specs=(P(b), P(b, axis_name)),
+            out_specs=(P(b), a_spec),
         )(att_img, regions, h, att["h_w"], att["beta"])
-        return ctx, a[:, :R]
+        return ctx, a[..., :R]
 
     return attn_fn

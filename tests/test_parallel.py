@@ -243,7 +243,7 @@ def test_region_parallel_model_parity():
         "encoder_cnn": "vanilla", "positional_embeddings": True,
         "attn_cell_config": {"cell_type": "lstm", "num_units": 16, "dim_e": 8,
                               "dim_o": 16, "dim_embeddings": 8},
-        "decoding": "greedy", "beam_size": 1, "div_gamma": 1, "div_prob": 0,
+        "decoding": "beam_search", "beam_size": 2, "div_gamma": 1, "div_prob": 0,
         "max_length_formula": 10,
     }
 
@@ -283,8 +283,11 @@ def test_region_parallel_model_parity():
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
+    # beam-2 decode: exercises the beam-aware sharded context (the image
+    # tensors broadcast over the beam axis inside the shard_map)
     ids1 = np.asarray(plain.decode_step(p1, batch["image"]))
     ids2 = np.asarray(sharded.decode_step(p2, batch_s["image"]))
+    assert ids1.shape[1] == 2  # beam hyps
     np.testing.assert_array_equal(ids1, ids2)
 
 
@@ -308,6 +311,6 @@ def test_region_parallel_config_errors():
     with pytest.raises(ValueError, match="region"):
         Img2SeqModel(Config(dict(base)), _V())  # no mesh
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "region"))
-    with pytest.raises(NotImplementedError, match="greedy-only"):
-        Img2SeqModel(Config(dict(base, decoding="beam_search", beam_size=2)),
+    with pytest.raises(NotImplementedError, match="transformer"):
+        Img2SeqModel(Config(dict(base, decoder_arch="transformer")),
                      _V(), mesh=mesh)
