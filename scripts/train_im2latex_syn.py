@@ -49,6 +49,11 @@ ap.add_argument("--alpha-c", type=float, default=0.0,
                      "drift failure mode. Keep small: with R >> T the "
                      "coverage target is unreachable and a large weight "
                      "swamps the CE loss.")
+ap.add_argument("--cell-type", default="lstm", choices=("lstm", "gru"),
+                help="attention-RNN cell (models/decoder.py). 'gru' is the "
+                     "BASELINE config #1 'attention-GRU' variant: same "
+                     "Bahdanau attention + deep output, GRUCell recurrence "
+                     "(reference model/decoder.py:5 latent capability)")
 ap.add_argument("--decoder-arch", default="attn_lstm",
                 choices=("attn_lstm", "transformer"),
                 help="decoder family: the flagship Bahdanau LSTM or the "
@@ -73,8 +78,8 @@ with open(base + "buckets.json") as f:
     buckets = json.load(f)
 cfg = Config({
     "encoder_cnn": "vanilla", "positional_embeddings": True,
-    "attn_cell_config": {"cell_type": "lstm", "num_units": 512, "dim_e": 256,
-                          "dim_o": 512, "dim_embeddings": 80},
+    "attn_cell_config": {"cell_type": args.cell_type, "num_units": 512,
+                          "dim_e": 256, "dim_o": 512, "dim_embeddings": 80},
     "decoder_arch": args.decoder_arch,
     "transformer_config": json.loads(args.transformer_config) if args.transformer_config else None,
     "decoding": "greedy", "beam_size": 2, "div_gamma": 1, "div_prob": 0,
