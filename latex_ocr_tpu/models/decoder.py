@@ -437,11 +437,19 @@ def masked_ce_loss(
     logits: jnp.ndarray,  # (B, T, V) fp32
     formula: jnp.ndarray,  # (B, T) int32
     lengths: jnp.ndarray,  # (B,) int32
+    label_smoothing: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked sparse-softmax CE (reference img2seq.py:68-75).
 
-    Returns (mean loss over valid tokens, sum of CE over valid tokens,
-    number of valid tokens).
+    ``label_smoothing`` mixes the one-hot target with the uniform
+    distribution over the vocabulary (Szegedy et al. 2016): the training
+    loss becomes ``(1-eps)*nll + eps*mean_V(-logp)``. The returned
+    ``ce_words`` counter always accumulates the UN-smoothed CE so
+    perplexity stays comparable across smoothing settings (and with the
+    reference, which has no smoothing).
+
+    Returns (mean loss over valid tokens, sum of true CE over valid
+    tokens, number of valid tokens).
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     tok_logp = jnp.take_along_axis(logp, formula[..., None], axis=-1)[..., 0]
@@ -449,5 +457,11 @@ def masked_ce_loss(
     ce = -(tok_logp * mask)
     ce_words = jnp.sum(ce)
     n_words = jnp.sum(lengths)
-    loss = ce_words / jnp.maximum(1, jnp.sum(mask))
+    n_valid = jnp.maximum(1, jnp.sum(mask))
+    if label_smoothing > 0.0:
+        uniform_ce = -(jnp.mean(logp, axis=-1) * mask)
+        smoothed = (1.0 - label_smoothing) * ce + label_smoothing * uniform_ce
+        loss = jnp.sum(smoothed) / n_valid
+    else:
+        loss = ce_words / n_valid
     return loss, ce_words, n_words

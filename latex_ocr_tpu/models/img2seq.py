@@ -271,7 +271,14 @@ class Img2SeqModel:
                     params["decoder"], feat, batch["formula"],
                     dropout_rng=dropout_rng, keep_prob=keep_prob,
                 )
-        loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
+        # label smoothing applies to the training loss only; eval_step /
+        # eval_decode_step keep true CE so perplexity stays comparable
+        smooth = 0.0 if dropout_rng is None else float(
+            getattr(self.config, "label_smoothing", 0.0) or 0.0
+        )
+        loss, ce_words, n_words = masked_ce_loss(
+            logits, batch["formula"], batch["length"], label_smoothing=smooth
+        )
         if alpha_c > 0.0:
             # doubly-stochastic attention regularizer (Show-Attend-Tell;
             # torch reference getLoss, img2seq_torch.py:136-172):

@@ -39,10 +39,23 @@ class LRSchedule:
         self._score: Optional[float] = None
         self._early_stopping = early_stopping
         self._n_no_improvement = 0
-        # "exponential" (reference TF path) or "cosine" (reference torch
-        # path's CosineAnnealingLR, base_torch.py:129-133)
-        assert decay_mode in ("exponential", "cosine"), decay_mode
+        # "exponential" (reference TF path), "cosine" (reference torch
+        # path's CosineAnnealingLR, base_torch.py:129-133), or "noam"
+        # (transformer-shaped: linear warm-up to lr_init over end_warm
+        # batches, then inverse-sqrt decay — Vaswani et al. 2017 §5.3,
+        # beyond-reference lever for the transformer decoder family)
+        assert decay_mode in ("exponential", "cosine", "noam"), decay_mode
         self._decay_mode = decay_mode
+        # score-decay events multiply this persistent factor in recompute
+        # modes (cosine/noam recompute lr from batch_no, which would
+        # otherwise clobber multiplicative score decay)
+        self._score_mult = 1.0
+
+        if self._decay_mode == "noam":
+            if not self._end_warm:
+                self._end_warm = 1  # degenerate: pure inverse-sqrt
+            self.lr = lr_init / self._end_warm
+            return
 
         if self._end_warm is not None:
             # decay must not start inside the warm-up window
@@ -71,19 +84,34 @@ class LRSchedule:
             "lr": float(self.lr),
             "score": None if self._score is None else float(self._score),
             "n_no_improvement": int(self._n_no_improvement),
+            "score_mult": float(self._score_mult),
         }
 
     def load_state_dict(self, state: dict) -> None:
         self.lr = float(state["lr"])
         self._score = state["score"]
         self._n_no_improvement = int(state["n_no_improvement"])
+        # absent in checkpoints written before the noam mode existed
+        self._score_mult = float(state.get("score_mult", 1.0))
 
     def update(self, batch_no: Optional[int] = None, score: Optional[float] = None) -> None:
         """Advance the schedule by time (``batch_no``) and/or by ``score``.
 
         Higher score is better. Both updates may apply in the same call.
         """
-        if batch_no is not None:
+        if batch_no is not None and self._decay_mode == "noam":
+            import math
+
+            step = max(1, batch_no)
+            base = self._lr_init * min(
+                step / self._end_warm, math.sqrt(self._end_warm / step)
+            )
+            self.lr = base * self._score_mult
+            if step > self._end_warm:
+                # floor applies only after warm-up: the ramp intentionally
+                # starts below lr_min
+                self.lr = max(self.lr, self._lr_min)
+        elif batch_no is not None:
             if (
                 self._end_warm is not None
                 and self._end_warm <= batch_no <= self._start_decay
@@ -107,6 +135,7 @@ class LRSchedule:
         if self._decay_rate is not None and score is not None and self._score is not None:
             if score <= self._score:
                 self.lr *= self._decay_rate
+                self._score_mult *= self._decay_rate
                 self._n_no_improvement += 1
             else:
                 self._n_no_improvement = 0
@@ -114,4 +143,5 @@ class LRSchedule:
         if score is not None:
             self._score = score
 
-        self.lr = max(self.lr, self._lr_min)
+        if not (self._decay_mode == "noam" and (batch_no or 0) <= self._end_warm):
+            self.lr = max(self.lr, self._lr_min)

@@ -58,6 +58,18 @@ ap.add_argument("--decoder-arch", default="attn_lstm",
                 choices=("attn_lstm", "transformer"),
                 help="decoder family: the flagship Bahdanau LSTM or the "
                      "MXU-dense transformer (models/transformer.py)")
+ap.add_argument("--label-smoothing", type=float, default=0.0,
+                help="mix the one-hot CE target with the uniform "
+                     "distribution (models/decoder.py masked_ce_loss). "
+                     "Transformer-shaped quality lever; perplexity is "
+                     "always reported un-smoothed.")
+ap.add_argument("--lr-mode", default="exponential",
+                choices=("exponential", "cosine", "noam"),
+                help="'noam' = linear warm-up to --lr-init over --warmup "
+                     "batches then inverse-sqrt decay (transformer-shaped; "
+                     "utils/lr_schedule.py)")
+ap.add_argument("--warmup", type=int, default=2000,
+                help="warm-up batches for --lr-mode noam")
 ap.add_argument("--transformer-config", default=None,
                 help='JSON dict overriding models/transformer.py defaults, '
                      'e.g. \'{"num_layers": 4, "dim_model": 256}\'')
@@ -91,6 +103,7 @@ cfg = Config({
     "clip": 5.0,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
     "alpha_c": args.alpha_c,
+    "label_smoothing": args.label_smoothing,
     # dataset paths: snapshotted (Config.save -> config.json) so the
     # evaluate_txt/evaluate_img/predict/serve CLIs can restore this run
     # exactly like a CLI-trained one (Config.from_run_dir fallback)
@@ -131,7 +144,8 @@ print(f"train batches/epoch: {len(train_pipe)}", flush=True)
 trainer = Trainer(model, cfg, args.out, mesh=mesh)
 lr = LRSchedule(lr_init=args.lr_init, lr_min=args.lr_min,
                 start_decay=args.start_decay, end_decay=args.end_decay,
-                decay_rate=args.decay_on_plateau)
+                decay_rate=args.decay_on_plateau, decay_mode=args.lr_mode,
+                end_warm=args.warmup if args.lr_mode == "noam" else None)
 t0 = time.time()
 best = trainer.train(train_pipe, val_pipe, lr, init_params=init_params)
 print(f"DONE best={best} wall={time.time()-t0:.0f}s", flush=True)

@@ -5,6 +5,7 @@ warm-up/decay windows, vocab special-token ordering, pad/END contract.
 """
 
 import json
+import math
 import os
 
 import numpy as np
@@ -270,3 +271,41 @@ def test_config_from_run_dir_fallback(tmp_path):
     # partial subset requests work on the dict snapshot too
     cfg = Config.from_run_dir(str(run), parts=("vocab.json", "model.json"))
     assert cfg.b == 3 and cfg.c == 4
+
+
+def test_lr_noam_mode():
+    import math
+
+    s = LRSchedule(lr_init=1e-3, lr_min=0.0, end_warm=100, decay_mode="noam")
+    # linear warm-up: lr(k) = lr_init * k / warmup
+    s.update(batch_no=10)
+    assert abs(s.lr - 1e-4) < 1e-12
+    s.update(batch_no=100)
+    assert abs(s.lr - 1e-3) < 1e-12  # peak at end of warm-up
+    # inverse-sqrt after: lr(400) = lr_init * sqrt(100/400) = lr_init/2
+    s.update(batch_no=400)
+    assert abs(s.lr - 5e-4) < 1e-12
+    # lr_min floors only post-warm-up
+    s2 = LRSchedule(lr_init=1e-3, lr_min=5e-4, end_warm=100, decay_mode="noam")
+    s2.update(batch_no=1)
+    assert s2.lr < 5e-4  # ramp starts below the floor
+    s2.update(batch_no=100 * 16)
+    assert s2.lr == 5e-4  # 1e-3/4 would be 2.5e-4 -> floored
+
+
+def test_lr_noam_score_decay_persists_across_recompute():
+    s = LRSchedule(lr_init=1e-3, lr_min=0.0, end_warm=10, decay_mode="noam",
+                   decay_rate=0.5)
+    s.update(batch_no=10, score=1.0)
+    s.update(batch_no=11, score=0.5)  # no improvement -> halve
+    lr_after_decay = s.lr
+    s.update(batch_no=12)  # recompute from batch_no must keep the 0.5x
+    assert abs(s.lr - 1e-3 * math.sqrt(10 / 12) * 0.5) < 1e-12
+    assert lr_after_decay < 1e-3
+    # state_dict round-trip carries the multiplier
+    state = s.state_dict()
+    s3 = LRSchedule(lr_init=1e-3, lr_min=0.0, end_warm=10, decay_mode="noam",
+                    decay_rate=0.5)
+    s3.load_state_dict(state)
+    s3.update(batch_no=12)
+    assert abs(s3.lr - s.lr) < 1e-15

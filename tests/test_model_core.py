@@ -281,3 +281,23 @@ def test_gru_cell_train_and_decode():
 
     ids = np.asarray(model.decode_step(params, batch["image"]))
     assert ids.shape[:2] == (2, 2)  # beam_size hyps
+
+
+def test_label_smoothing_loss():
+    rng = jax.random.PRNGKey(7)
+    logits = jax.random.normal(rng, (2, 4, N_TOK))
+    formula = jnp.array([[1, 2, ID_END, 0], [3, ID_END, 0, 0]], jnp.int32)
+    lengths = jnp.array([3, 2], jnp.int32)
+    loss0, ce0, n0 = masked_ce_loss(logits, formula, lengths, label_smoothing=0.0)
+    loss_s, ce_s, n_s = masked_ce_loss(logits, formula, lengths, label_smoothing=0.1)
+    # counters (perplexity source) are smoothing-invariant
+    np.testing.assert_allclose(ce0, ce_s, rtol=1e-6)
+    assert int(n0) == int(n_s) == 5
+    # hand-computed smoothed loss: (1-eps)*nll + eps*mean_V(-logp)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    mask = np.array([[1, 1, 1, 0], [1, 1, 0, 0]], np.float32)
+    nll = -np.take_along_axis(np.asarray(logp), np.asarray(formula)[..., None], -1)[..., 0]
+    uni = -np.asarray(logp).mean(-1)
+    expect = ((0.9 * nll + 0.1 * uni) * mask).sum() / mask.sum()
+    np.testing.assert_allclose(loss_s, expect, rtol=1e-5)
+    assert abs(float(loss_s) - float(loss0)) > 1e-6  # smoothing changes the loss
