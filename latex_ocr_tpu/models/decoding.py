@@ -166,6 +166,26 @@ def _mask_finished(step_logp: jnp.ndarray, finished: jnp.ndarray, id_end: int):
     return jnp.where(finished[..., None], end_row, step_logp)
 
 
+def coverage_log_penalty(
+    coverage: jnp.ndarray,  # (..., R) accumulated attention mass per region
+    beta: float,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """GNMT coverage penalty (Wu et al. 2016 eq. 14):
+    ``cp = beta * sum_r log(min(coverage_r, 1.0))``.
+
+    Rewards hypotheses whose attention has covered the input regions;
+    re-ranks the final beams (beyond-reference lever for the long-formula
+    drift failure mode, where the decoder stalls on a region and never
+    attends the tail). ``coverage`` is clamped at ``eps`` below so empty
+    regions contribute a large-but-finite constant — image grids have many
+    legitimately blank regions, and only differences between beams matter
+    for the re-rank."""
+    return beta * jnp.sum(
+        jnp.log(jnp.clip(coverage, eps, 1.0)), axis=-1
+    ).astype(jnp.float32)
+
+
 def _div_penalty(logp: jnp.ndarray, div_gamma: float, div_prob: float, rng):
     """Intra-beam diversity penalty (Li et al. 2016): log(gamma) * rank."""
     rank = jnp.argsort(jnp.argsort(-logp, axis=-1), axis=-1).astype(logp.dtype)
@@ -187,6 +207,7 @@ def decode_beam(
     rng: Optional[jax.Array] = None,
     use_pallas: bool = False,
     length_norm_alpha: float = 0.0,
+    coverage_beta: float = 0.0,
     attn_fn=None,
 ) -> BeamOutput:
     """Batched beam search, fully on device. Returns aligned beams (B, K, T).
@@ -194,6 +215,11 @@ def decode_beam(
     ``length_norm_alpha`` > 0 re-ranks the final beams by
     ``log_prob / length**alpha`` (GNMT-style length normalization,
     BASELINE.json config #3); 0 keeps the reference's raw-sum ranking.
+    ``coverage_beta`` > 0 adds the GNMT coverage penalty
+    (`coverage_log_penalty`) to the re-rank score; this carries a
+    (B, K, R) coverage accumulator through the loop and requires
+    materialized attention weights, so it forces the non-fused attention
+    step (``use_pallas`` is ignored).
     """
     regions = flatten_regions(img_feat)  # (B, R, C) — never beam-tiled
     att_img = compute_att_img(dec_params, regions)
@@ -228,15 +254,23 @@ def decode_beam(
         rng = jax.random.PRNGKey(0)
     rng0 = rng if rng is not None else jax.random.PRNGKey(0)
 
+    use_cov = coverage_beta > 0.0
+    if use_cov:
+        # coverage needs materialized attention weights per step
+        use_pallas = False
+        cov0 = jnp.zeros((B, K, R), jnp.float32)
+
     def cond(carry):
         t = carry[0]
         finished = carry[4]
         return jnp.logical_and(t < T, ~jnp.all(finished))
 
     def body(carry):
+        if use_cov:
+            *carry, cov = carry
         t, state, emb, log_probs, finished, lengths, ids_buf, parents_buf, step_rng = carry
 
-        logits, new_state, _ = attn_cell_step_beam(
+        logits, new_state, attn = attn_cell_step_beam(
             dec_params, emb, state, att_img, regions, use_pallas=use_pallas,
             attn_fn=attn_fn,
         )
@@ -265,12 +299,28 @@ def decode_beam(
         ids_buf = jax.lax.dynamic_update_slice(ids_buf, new_ids[None], (t, 0, 0))
         parents_buf = jax.lax.dynamic_update_slice(parents_buf, parents[None], (t, 0, 0))
 
-        return (t + 1, new_state, new_emb, new_lp, new_finished, new_lengths, ids_buf, parents_buf, step_rng)
+        out = (t + 1, new_state, new_emb, new_lp, new_finished, new_lengths, ids_buf, parents_buf, step_rng)
+        if use_cov:
+            # the new beam k extends parent p: its coverage is the parent's
+            # plus the attention the parent just spent (finished parents
+            # only emit END — their attention must not accumulate)
+            step_cov = attn.astype(jnp.float32) * (~finished[..., None])
+            out = out + (_gather_beams(cov + step_cov, parents),)
+        return out
 
     carry = (jnp.int32(0), state0, emb0, log_probs0, finished0, lengths0, ids_buf0, parents_buf0, rng0)
-    _, _, _, log_probs, _, lengths, ids_buf, parents_buf, _ = jax.lax.while_loop(cond, body, carry)
+    if use_cov:
+        carry = carry + (cov0,)
+    final = jax.lax.while_loop(cond, body, carry)
+    log_probs, lengths, ids_buf, parents_buf = final[3], final[5], final[6], final[7]
 
-    return finalize_beams(ids_buf, parents_buf, log_probs, lengths, length_norm_alpha)
+    extra_scores = None
+    if use_cov:
+        extra_scores = coverage_log_penalty(final[9], coverage_beta)
+    return finalize_beams(
+        ids_buf, parents_buf, log_probs, lengths, length_norm_alpha,
+        extra_scores=extra_scores,
+    )
 
 
 def finalize_beams(
@@ -279,16 +329,22 @@ def finalize_beams(
     log_probs: jnp.ndarray,  # (B, K) final raw scores
     lengths: jnp.ndarray,  # (B, K) hypothesis lengths incl. END
     length_norm_alpha: float = 0.0,
+    extra_scores: Optional[jnp.ndarray] = None,  # (B, K) additive (e.g. coverage)
 ) -> BeamOutput:
     """Backtrack parent pointers into aligned beams, optionally re-ranked
-    by GNMT length normalization. Shared by the XLA beam loop and the
-    Pallas beam megakernel (which emits the same raw buffers)."""
+    by GNMT length normalization and/or additive ``extra_scores`` (the
+    coverage penalty). Shared by the XLA beam loop and the Pallas beam
+    megakernel (which emits the same raw buffers)."""
     T, B, K = ids_buf.shape
 
-    # ---- optional GNMT-style length normalization re-ranking --------------
-    if length_norm_alpha > 0.0:
-        norm = jnp.maximum(1, lengths).astype(jnp.float32) ** length_norm_alpha
-        scores = log_probs / norm
+    # ---- optional GNMT-style re-ranking (length norm + additive terms) ----
+    if length_norm_alpha > 0.0 or extra_scores is not None:
+        scores = log_probs
+        if length_norm_alpha > 0.0:
+            norm = jnp.maximum(1, lengths).astype(jnp.float32) ** length_norm_alpha
+            scores = scores / norm
+        if extra_scores is not None:
+            scores = scores + extra_scores
         order = jnp.argsort(-scores, axis=1)  # (B, K) best first
         log_probs = jnp.take_along_axis(scores, order, axis=1)
     else:

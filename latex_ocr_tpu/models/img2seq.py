@@ -96,6 +96,10 @@ class Img2SeqModel:
         self.div_gamma = getattr(config, "div_gamma", 1.0)
         self.div_prob = getattr(config, "div_prob", 0.0)
         self.length_norm_alpha = float(getattr(config, "length_norm_alpha", 0.0) or 0.0)
+        # GNMT coverage penalty re-rank (models/decoding.py
+        # coverage_log_penalty); attn_lstm beam only — routes around the
+        # beam megakernel (needs per-step attention weights in the carry)
+        self.coverage_beta = float(getattr(config, "coverage_beta", 0.0) or 0.0)
         self.max_length = getattr(config, "max_length_formula", 150) + 1
         self._tx: Optional[optax.GradientTransformation] = None
         pallas = getattr(config, "use_pallas_attention", "auto")
@@ -360,13 +364,19 @@ class Img2SeqModel:
         if self.decoder_arch == "transformer":
             from .transformer import transformer_decode_beam
 
+            if self.coverage_beta > 0.0:
+                raise ValueError(
+                    "coverage_beta is an attn_lstm-family beam feature: the "
+                    "transformer's cross-attention is per-layer/per-head and "
+                    "has no single coverage distribution to accumulate"
+                )
             return transformer_decode_beam(
                 dec_params, feat, self.max_length, self.id_end,
                 self.beam_size, div_gamma=self.div_gamma, div_prob=self.div_prob,
                 length_norm_alpha=self.length_norm_alpha,
                 num_heads=self.num_heads,
             )
-        if self.use_megakernel:
+        if self.use_megakernel and self.coverage_beta == 0.0:
             from ..ops.decoder_kernel import decode_beam_megakernel
 
             return decode_beam_megakernel(
@@ -380,6 +390,7 @@ class Img2SeqModel:
             self.beam_size, self.div_gamma, self.div_prob,
             use_pallas=self.use_pallas,
             length_norm_alpha=self.length_norm_alpha,
+            coverage_beta=self.coverage_beta,
             attn_fn=self._attn_fn,
         )
 

@@ -30,7 +30,11 @@ import click
 @click.option("--batch-size", default=64)
 @click.option("--beams", default="1,2,5")
 @click.option("--alphas", default="0,0.6,1.0")
-def main(results, data_dir, max_len, batch_size, beams, alphas):
+@click.option("--coverage-betas", default="0",
+              help="GNMT coverage-penalty betas to add to the grid "
+                   "(models/decoding.py coverage_log_penalty); beam>1 "
+                   "cells only — coverage re-ranks among beams")
+def main(results, data_dir, max_len, batch_size, beams, alphas, coverage_betas):
     from latex_ocr_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -64,12 +68,13 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
 
     rows = []
     params = None
-    for beam, alpha in itertools.product(
+    for beam, alpha, beta in itertools.product(
         [int(b) for b in beams.split(",")],
         [float(a) for a in alphas.split(",")],
+        [float(b) for b in coverage_betas.split(",")],
     ):
-        if beam == 1 and alpha != 0.0:
-            continue  # length norm is a no-op on a single hypothesis
+        if beam == 1 and (alpha != 0.0 or beta != 0.0):
+            continue  # re-ranking is a no-op on a single hypothesis
         cfg = Config({
             "encoder_cnn": "vanilla", "positional_embeddings": True,
             "attn_cell_config": {"cell_type": "lstm", "num_units": 512,
@@ -81,6 +86,7 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
             "decoding": "greedy" if beam == 1 else "beam_search",
             "beam_size": beam,
             "length_norm_alpha": alpha,
+            "coverage_beta": beta,
             "max_length_formula": max_len,
             "path_vocab": data_dir + "vocab.txt",
             "batch_size": batch_size, "buckets": buckets,
@@ -100,17 +106,18 @@ def main(results, data_dir, max_len, batch_size, beams, alphas):
             bucket_size=batch_size, max_len=max_len,
         )
         trainer = Trainer(model, cfg, results)
-        tag = f"beam{beam}_alpha{alpha:g}"
+        tag = f"beam{beam}_alpha{alpha:g}" + (f"_cov{beta:g}" if beta else "")
         scores = trainer.evaluate(params, test_set, results + f"sweep_{tag}/")
-        row = {"beam": beam, "alpha": alpha, **{k: round(v, 3) for k, v in scores.items()}}
+        row = {"beam": beam, "alpha": alpha, "cov_beta": beta,
+               **{k: round(v, 3) for k, v in scores.items()}}
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    print("\n| beam | alpha | BLEU-4 | EM | EditDist | perplexity |")
-    print("|---|---|---|---|---|---|")
+    print("\n| beam | alpha | cov_beta | BLEU-4 | EM | EditDist | perplexity |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['beam']} | {r['alpha']:g} | {r.get('BLEU-4', 0):.2f} "
+            f"| {r['beam']} | {r['alpha']:g} | {r['cov_beta']:g} | {r.get('BLEU-4', 0):.2f} "
             f"| {r.get('ExactMatchScore', 0):.2f} | {r.get('EditDistance', 0):.2f} "
             f"| {r.get('perplexity', 0):.4f} |"
         )
