@@ -119,7 +119,7 @@ def build_images(
     buckets: Optional[Sequence[Sequence[int]]] = None,
     n_threads: int = 4,
     force_synthetic: bool = False,
-    handwritten: bool = False,
+    handwritten=False,  # False | True/'jitter' | 'stroke' (synthetic.py)
 ) -> List[Tuple[Union[str, bool], int]]:
     """Render all formulas in parallel; skip images already on disk.
 

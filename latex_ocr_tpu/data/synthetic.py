@@ -57,14 +57,137 @@ def token_glyph(token: str) -> np.ndarray:
     return g
 
 
-def render_formula_array(formula: str, handwritten: bool = False, seed: int = 0) -> np.ndarray:
+# ------------------------------------------------------ stroke handwriting
+
+_STROKE_H = 28
+_STROKE_W = 20
+
+
+def _token_strokes(token: str):
+    """Deterministic pen strokes for a token: 1-3 polylines of 3-5 control
+    points in the unit square. Every instance of the token shares these
+    (they ARE the glyph identity); per-instance deformation happens at
+    render time."""
+    seed = zlib.crc32(b"strokes:" + token.encode("utf-8")) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    strokes = []
+    for _ in range(1 + seed % 3):
+        n_pts = int(rng.integers(3, 6))
+        strokes.append(rng.random((n_pts, 2)))
+    return strokes
+
+
+_STROKE_CACHE: dict = {}
+
+
+def token_strokes(token: str):
+    s = _STROKE_CACHE.get(token)
+    if s is None:
+        s = _token_strokes(token)
+        _STROKE_CACHE[token] = s
+    return s
+
+
+def _pen_path(pts: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Densify a control polyline into a smooth pen trajectory (px coords)."""
+    seg = np.hypot(*np.diff(pts, axis=0).T)
+    n = max(8, int(seg.sum() * 2.5))
+    t = np.concatenate([[0.0], np.cumsum(seg)])
+    t = t / max(t[-1], 1e-6)
+    ti = np.linspace(0.0, 1.0, n)
+    xs = np.interp(ti, t, pts[:, 0])
+    ys = np.interp(ti, t, pts[:, 1])
+    # box-smooth with edge padding: rounds polyline corners into pen curves
+    k = 5
+    pad_x = np.pad(xs, k // 2, mode="edge")
+    pad_y = np.pad(ys, k // 2, mode="edge")
+    kernel = np.ones(k) / k
+    xs = np.convolve(pad_x, kernel, mode="valid")
+    ys = np.convolve(pad_y, kernel, mode="valid")
+    return np.stack([xs, ys], axis=1)
+
+
+def _draw_pen_stroke(canvas: np.ndarray, path: np.ndarray, base_radius: float,
+                     intensity: int, rng: np.random.Generator) -> None:
+    """Stamp disks of smoothly varying radius along the path (max-blend ink)."""
+    n = len(path)
+    # smooth thickness profile: pen pressure varies along the stroke
+    prof = rng.random(max(4, n // 8))
+    prof = np.interp(np.linspace(0, 1, n), np.linspace(0, 1, len(prof)), prof)
+    radii = base_radius * (0.65 + 0.7 * prof)
+    H, W = canvas.shape
+    for (x, y), r in zip(path, radii):
+        r_i = max(1, int(round(r)))
+        x_i, y_i = int(round(x)), int(round(y))
+        y0, y1 = max(0, y_i - r_i), min(H, y_i + r_i + 1)
+        x0, x1 = max(0, x_i - r_i), min(W, x_i + r_i + 1)
+        if y0 >= y1 or x0 >= x1:
+            continue
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        disk = (yy - y) ** 2 + (xx - x) ** 2 <= r ** 2 + 0.25
+        region = canvas[y0:y1, x0:x1]
+        np.maximum(region, np.where(disk, intensity, 0).astype(np.uint8), out=region)
+
+
+def render_stroke_formula_array(formula: str, seed: int = 0) -> np.ndarray:
+    """CROHME-style stroke handwriting: each token drawn as smooth
+    variable-thickness pen trajectories with per-instance control-point
+    perturbation, a global slant, baseline wobble across the formula,
+    per-token scale jitter, and varying ink tone. Far closer to a
+    handwriting distribution than the jitter style (which deforms printed
+    bitmaps), while staying deterministic in (formula, seed)."""
+    tokens = [t for t in formula.strip().split(" ") if t]
+    if not tokens:
+        tokens = ["?"]
+    rng = np.random.default_rng((zlib.crc32(formula.encode()) ^ seed) & 0xFFFFFFFF)
+    slant = rng.uniform(-0.15, 0.35)  # dx per dy, like italic handwriting
+    height = _STROKE_H + 8 * _BASELINE_PAD
+    width = int(len(tokens) * (_STROKE_W + 6) + 2 * _BASELINE_PAD
+                + abs(slant) * height) + _STROKE_W
+    canvas = np.zeros((height, width), dtype=np.uint8)
+    # negative slant shifts ink left near the top — shift the origin so the
+    # first token's strokes stay on-canvas
+    x = float(_BASELINE_PAD) + max(0.0, -slant * height)
+    baseline = 3.0 * _BASELINE_PAD
+    for i, tok in enumerate(tokens):
+        # structural baseline offset (sub/superscript flavour, same hash
+        # contract as the printed renderer) + smooth handwriting wobble
+        dy = (zlib.crc32(f"{tok}:{i}".encode()) % (2 * _BASELINE_PAD)) - _BASELINE_PAD
+        baseline = np.clip(
+            baseline + rng.normal(0.0, 1.2), 2.0 * _BASELINE_PAD, 4.0 * _BASELINE_PAD
+        )
+        scale = rng.uniform(0.85, 1.15)
+        gh, gw = _STROKE_H * scale, _STROKE_W * scale
+        tone = int(rng.integers(150, 256))  # ink intensity (inverted later)
+        thickness = rng.uniform(0.9, 1.9)
+        for pts in token_strokes(tok):
+            p = pts + rng.normal(0.0, 0.06, pts.shape)  # per-instance wobble
+            px = np.empty_like(p)
+            py_ = baseline + dy + p[:, 1] * gh
+            px[:, 0] = x + p[:, 0] * gw + slant * (height - py_)  # shear
+            px[:, 1] = py_
+            path = _pen_path(px, rng)
+            _draw_pen_stroke(canvas, path, thickness, tone, rng)
+        x += gw + rng.uniform(1.0, 6.0)
+    out = 255 - canvas
+    # paper texture + occasional smudge specks
+    speckle = rng.random(out.shape) < 0.002
+    out = np.where(speckle, rng.integers(90, 200), out).astype(np.uint8)
+    return out
+
+
+def render_formula_array(formula: str, handwritten=False, seed: int = 0) -> np.ndarray:
     """Render a formula into an (H, W) uint8 array, white background.
 
-    ``handwritten`` adds per-instance deformation (glyph jitter, variable
-    advance, stroke dropout, background speckle) to emulate a
-    CROHME-style handwritten distribution — harder inputs, same task
+    ``handwritten`` selects the distribution: False = printed glyphs;
+    True (or "jitter") = printed glyphs + per-instance deformation (glyph
+    jitter, variable advance, stroke dropout, background speckle);
+    "stroke" = the pen-trajectory handwriting renderer
+    (`render_stroke_formula_array`) — CROHME-style smooth strokes
     (BASELINE.json config #4).
     """
+    if handwritten == "stroke":
+        return render_stroke_formula_array(formula, seed=seed)
     tokens = [t for t in formula.strip().split(" ") if t]
     if not tokens:
         tokens = ["?"]
@@ -102,7 +225,7 @@ def render_synthetic_formula(
     buckets: Optional[Sequence[Sequence[int]]] = None,
     down_ratio: int = 2,
     pad: int = 8,
-    handwritten: bool = False,
+    handwritten=False,  # False | True/'jitter' | 'stroke'
 ) -> bool:
     """Render a formula PNG with the same crop/pad/bucket/downsample contract
     as the LaTeX pipeline."""
@@ -139,7 +262,7 @@ def make_synthetic_dataset(
     seed: int = 0,
     buckets: Optional[Sequence[Sequence[int]]] = None,
     n_threads: int = 4,
-    handwritten: bool = False,
+    handwritten=False,  # False | True/'jitter' | 'stroke'
 ) -> dict:
     """Generate a complete small dataset (formulas + images + matching +
     vocab) under ``out_dir``. Returns the path dict used to build configs."""

@@ -33,19 +33,25 @@ DEFAULT_BUCKETS = [
 @click.option("--max-len", default=30)
 @click.option("--seed", default=11)
 @click.option("--handwritten", is_flag=True, default=False)
+@click.option("--hw-style", default="jitter",
+              type=click.Choice(["jitter", "stroke"]),
+              help="handwritten distribution: 'jitter' deforms printed "
+                   "glyphs; 'stroke' renders smooth pen trajectories "
+                   "(synthetic.py render_stroke_formula_array)")
 @click.option("--n-threads", default=8)
 @click.option("--buckets", "buckets_json", default=None,
               help='JSON bucket table, e.g. "[[240,100],[1600,200]]" '
                    "(default: the standard 8-bucket table)")
 def main(out, n_train, n_val, n_test, min_len, max_len, seed, handwritten,
-         n_threads, buckets_json):
+         hw_style, n_threads, buckets_json):
     from latex_ocr_tpu.data.synthetic import make_synthetic_dataset
 
     buckets = json.loads(buckets_json) if buckets_json else DEFAULT_BUCKETS
     paths = make_synthetic_dataset(
         out, n_train=n_train, n_val=n_val, n_test=n_test,
         min_len=min_len, max_len=max_len, seed=seed,
-        buckets=buckets, n_threads=n_threads, handwritten=handwritten,
+        buckets=buckets, n_threads=n_threads,
+        handwritten=(hw_style if handwritten and hw_style == "stroke" else handwritten),
     )
     name = os.path.basename(out.rstrip("/"))
     data_cfg = {

@@ -85,3 +85,37 @@ def test_generator_bucketing_groups_shapes(small_dataset):
     transitions = sum(1 for a, b in zip(shapes, shapes[1:]) if a != b)
     n_distinct = len(set(shapes))
     assert transitions <= 3 * n_distinct
+
+
+def test_stroke_handwriting_renderer(tmp_path):
+    from latex_ocr_tpu.data.synthetic import (
+        render_formula_array,
+        render_stroke_formula_array,
+        render_synthetic_formula,
+        token_strokes,
+    )
+
+    f = r"\frac { x + 1 } { 2 }"
+    a = render_stroke_formula_array(f, seed=3)
+    b = render_stroke_formula_array(f, seed=3)
+    np.testing.assert_array_equal(a, b)  # deterministic in (formula, seed)
+    c = render_stroke_formula_array(f, seed=4)
+    assert a.shape != c.shape or (a != c).any()  # seed changes the instance
+    assert a.dtype == np.uint8 and (a < 128).sum() > 50  # real ink laid down
+
+    # the style string routes through the shared entry point
+    d = render_formula_array(f, handwritten="stroke", seed=3)
+    np.testing.assert_array_equal(a, d)
+
+    # token identity is shared across instances (strokes are the glyph)
+    s1, s2 = token_strokes("x"), token_strokes("x")
+    assert all((p1 == p2).all() for p1, p2 in zip(s1, s2))
+
+    # full bucket-snap contract, same as printed/jitter renders
+    out = tmp_path / "hw.png"
+    ok = render_synthetic_formula(f, str(out), buckets=[[240, 100], [400, 100]],
+                                  handwritten="stroke")
+    assert ok
+    from latex_ocr_tpu.data.images import read_img
+    img = read_img(str(out))
+    assert (img.shape[1], img.shape[0]) in [(120, 50), (200, 50)]  # /2 downsample
