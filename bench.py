@@ -28,6 +28,7 @@ def main(
     n_real_tokens: int = 500,
     decoder_arch: str = "attn_lstm",
     transformer_config: dict = None,
+    cell_type: str = "lstm",
 ) -> None:
     """``n_real_tokens`` defaults to 500 (the im2latex vocab scale, and the
     round-1 bench workload — kept for round-over-round comparability).
@@ -53,6 +54,9 @@ def main(
     B, H, W, T = 256, 50, 200, 64
 
     model_cfg = dict(ge.FLAGSHIP_MODEL)
+    if cell_type != "lstm":  # --gru: attention-GRU recurrence A/B
+        model_cfg["attn_cell_config"] = dict(
+            model_cfg["attn_cell_config"], cell_type=cell_type)
     if decoder_arch == "transformer":
         model_cfg["decoder_arch"] = "transformer"
         if transformer_config:
@@ -113,6 +117,8 @@ def main(
 
     images_per_sec = B * n_steps / elapsed
     arch_tag = "" if decoder_arch == "attn_lstm" else f", {decoder_arch} decoder"
+    if cell_type != "lstm":
+        arch_tag += f", {cell_type} cell"
     if decoder_arch == "transformer" and transformer_config:
         arch_tag += " " + json.dumps(transformer_config, sort_keys=True)
     out = {
@@ -236,5 +242,7 @@ if __name__ == "__main__":
         tf_cfg = json.loads(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     arch = "transformer" if "--transformer" in argv else "attn_lstm"
-    args = [a for a in argv if a != "--transformer"]
-    main(int(args[0]) if args else 500, decoder_arch=arch, transformer_config=tf_cfg)
+    cell = "gru" if "--gru" in argv else "lstm"
+    args = [a for a in argv if a not in ("--transformer", "--gru")]
+    main(int(args[0]) if args else 500, decoder_arch=arch,
+         transformer_config=tf_cfg, cell_type=cell)
