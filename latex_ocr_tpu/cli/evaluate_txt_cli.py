@@ -19,12 +19,27 @@ from .common import build_dataset, compute_dtype_from, make_vocab
 @click.command()
 @click.option("--results", default="results/small/", help="Run dir with config snapshot + weights")
 @click.option("--batch_size", default=20)
-def main(results: str, batch_size: int) -> None:
+@click.option("--decoding", default=None, type=click.Choice(["greedy", "beam_search"]),
+              help="override the snapshot's decoding mode")
+@click.option("--beam-size", default=None, type=int, help="override beam width")
+@click.option("--length-norm-alpha", default=None, type=float,
+              help="override GNMT length-norm alpha")
+@click.option("--coverage-beta", default=None, type=float,
+              help="override GNMT coverage-penalty beta (attn_lstm beams)")
+def main(results: str, batch_size: int, decoding, beam_size,
+         length_norm_alpha, coverage_beta) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
     config = Config.from_run_dir(results)
     config.batch_size = batch_size
+    # decode-quality overrides: sweep a trained run without editing its
+    # snapshot (scripts/sweep_beam_alpha.py drives the full grid)
+    for key, val in (("decoding", decoding), ("beam_size", beam_size),
+                     ("length_norm_alpha", length_norm_alpha),
+                     ("coverage_beta", coverage_beta)):
+        if val is not None:
+            setattr(config, key, val)
     vocab = make_vocab(config)
 
     from ..models.img2seq import Img2SeqModel

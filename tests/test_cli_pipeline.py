@@ -127,6 +127,18 @@ def test_evaluate_txt_cli(small_run):
     assert os.path.exists(os.path.join(answers, "hyp_0.txt"))
 
 
+def test_evaluate_txt_cli_decode_overrides(small_run):
+    # decode-quality overrides re-decode the run without editing the
+    # snapshot: beam-2 with length norm + coverage re-rank
+    proc = _run(["evaluate_txt.py", "--results", small_run["results"],
+                 "--batch_size", "8", "--decoding", "beam_search",
+                 "--beam-size", "2", "--length-norm-alpha", "0.6",
+                 "--coverage-beta", "0.2"], cwd=REPO)
+    assert "BLEU-4" in proc.stdout
+    answers = os.path.join(small_run["results"], "formulas_test")
+    assert os.path.exists(os.path.join(answers, "hyp_1.txt"))  # 2nd beam
+
+
 def test_evaluate_img_cli(small_run):
     # depends on evaluate_txt having written ref.txt/hyp_0.txt
     answers = os.path.join(small_run["results"], "formulas_test")
