@@ -116,17 +116,20 @@ def _draw_pen_stroke(canvas: np.ndarray, path: np.ndarray, base_radius: float,
     prof = np.interp(np.linspace(0, 1, n), np.linspace(0, 1, len(prof)), prof)
     radii = base_radius * (0.65 + 0.7 * prof)
     H, W = canvas.shape
-    for (x, y), r in zip(path, radii):
-        r_i = max(1, int(round(r)))
-        x_i, y_i = int(round(x)), int(round(y))
-        y0, y1 = max(0, y_i - r_i), min(H, y_i + r_i + 1)
-        x0, x1 = max(0, x_i - r_i), min(W, x_i + r_i + 1)
-        if y0 >= y1 or x0 >= x1:
-            continue
-        yy, xx = np.mgrid[y0:y1, x0:x1]
-        disk = (yy - y) ** 2 + (xx - x) ** 2 <= r ** 2 + 0.25
-        region = canvas[y0:y1, x0:x1]
-        np.maximum(region, np.where(disk, intensity, 0).astype(np.uint8), out=region)
+    # one vectorized union-of-disks mask over the stroke's bounding box
+    # (identical ink to per-point stamping, ~an order of magnitude faster)
+    r_max = float(radii.max())
+    y0 = max(0, int(np.floor(path[:, 1].min() - r_max)) - 1)
+    y1 = min(H, int(np.ceil(path[:, 1].max() + r_max)) + 2)
+    x0 = max(0, int(np.floor(path[:, 0].min() - r_max)) - 1)
+    x1 = min(W, int(np.ceil(path[:, 0].max() + r_max)) + 2)
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    d2 = (yy[None] - path[:, 1, None, None]) ** 2 + (xx[None] - path[:, 0, None, None]) ** 2
+    mask = (d2 <= (radii ** 2 + 0.25)[:, None, None]).any(axis=0)
+    region = canvas[y0:y1, x0:x1]
+    np.maximum(region, np.where(mask, intensity, 0).astype(np.uint8), out=region)
 
 
 def render_stroke_formula_array(formula: str, seed: int = 0) -> np.ndarray:
