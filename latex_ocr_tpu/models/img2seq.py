@@ -338,6 +338,17 @@ class Img2SeqModel:
     def _greedy(self, dec_params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
         """Greedy ids (B, T): megakernel on TPU, XLA while_loop elsewhere."""
         if self.decoder_arch == "transformer":
+            if self.use_megakernel:
+                from ..ops.transformer_kernel import (
+                    transformer_decode_greedy_megakernel,
+                )
+
+                # falls back to the XLA loop itself when the KV caches
+                # exceed the VMEM budget (huge-R buckets)
+                return transformer_decode_greedy_megakernel(
+                    dec_params, feat, self.max_length, self.id_end,
+                    num_heads=self.num_heads,
+                )
             from .transformer import transformer_decode_greedy
 
             return transformer_decode_greedy(

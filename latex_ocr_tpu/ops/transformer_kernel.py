@@ -1,0 +1,360 @@
+"""Pallas greedy-decode megakernel for the transformer decoder family.
+
+Motivation: the transformer's incremental decode
+(models/transformer.py:_step_logits) is a `lax.while_loop` whose per-layer
+KV caches (B, H, T, Dh) round-trip HBM on EVERY step — each step reads the
+whole cache, updates one row, and writes the whole cache back, plus a
+kernel-launch per step. This is the same shape of problem the attn-LSTM
+decode had (ops/decoder_kernel.py, measured 46x), so the same cure: pin
+one batch-block's caches, cross-attention K/V, and all decoder weights in
+VMEM and run the ENTIRE T-step loop inside one kernel — cache bytes never
+leave the chip, and the decode is one kernel launch instead of T.
+
+Head handling: Mosaic has no batched (leading-dim) matmul and head width
+Dh is far below the 128-lane tile, so per-head slicing would mis-lower.
+Instead the caches stay head-merged (Bb, T, D) and the per-head score
+contraction/expansion runs as TWO dense matmuls against a constant
+head-indicator matrix M[d, h] = [d // Dh == h]:
+
+    scores(b, t', h) = sum_d (K[b, t', d] * q[b, d]) * M[d, h]
+                     = reshape(K * q, (Bb*T, D)) @ M          # MXU
+    out(b, d)        = sum_t' (w @ M^T)(b, t', d) * V[b, t', d]
+
+The (Bb, T, D) -> (Bb*T, D) merge is layout-free when T is padded to the
+sublane tile, which `_round8` guarantees.
+
+Semantics mirror transformer_decode_greedy exactly (argmax ties under
+fused hardware rounding can differ, same caveat as the LSTM megakernel,
+docstring there). Interpret-mode output is bit-comparable in fp32 and
+covered by tests/test_transformer_kernel.py. Wired as the default greedy
+decode for the transformer family on TPU via Img2SeqModel (config
+`use_decoder_megakernel`, default "auto"); beam search stays on the XLA
+loop (its per-step cache reorder is already matmul-shaped work).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# exact-copy matmul precision for f32 selector/one-hot matmuls (see
+# ops/decoder_kernel.py: the MXU's default f32 path runs bf16 passes)
+_EXACT = jax.lax.Precision.HIGHEST
+
+
+def _copy_precision(dt):
+    return _EXACT if dt == jnp.float32 else None
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _ln(x, g, b):
+    """fp32 LayerNorm matching models/transformer.py:_layer_norm."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    return (y * g[None, :] + b[None, :]).astype(x.dtype)
+
+
+def _mha_cached(q, k_all, v_all, m_head, m_head_t, scale, limit, dt):
+    """Single-query multi-head attention against a (Bb, S, D) cache.
+
+    q (Bb, D); positions s with s > limit (inclusive bound) are masked.
+    Returns (Bb, D) in fp32. Softmax in fp32 per (b, h) group, attention
+    weights cast to `dt` before the value contraction — the same
+    precision schedule as the XLA _step_logits.
+    """
+    Bb, S, D = k_all.shape
+    H = m_head.shape[1]
+    prod = k_all.astype(jnp.float32) * q.astype(jnp.float32)[:, None, :]
+    scores = jax.lax.dot_general(
+        prod.reshape(Bb * S, D), m_head,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(Bb, S, H) * scale  # (Bb, S, H) fp32
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (Bb, S, H), 1)
+    # NEG must be created inside the kernel trace: a module-level
+    # jnp scalar is a committed device array -> illegal constant capture
+    scores = jnp.where(s_ids <= limit, scores, jnp.float32(-1e30))
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    w = p / jnp.sum(p, axis=1, keepdims=True)  # (Bb, S, H) fp32
+    w_exp = jax.lax.dot_general(
+        w.astype(dt).astype(jnp.float32).reshape(Bb * S, H), m_head_t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_EXACT,
+    ).reshape(Bb, S, D)
+    return jnp.sum(w_exp * v_all.astype(jnp.float32), axis=1)  # (Bb, D) fp32
+
+
+def _kernel(
+    pos_ref,    # (Tp, D) positions, dt
+    table_ref,  # (V, D) sqrt(D)-prescaled embeddings, dt
+    start_ref,  # (1, D) sqrt(D)-prescaled start token, dt
+    outw_ref,   # (D, V) dt
+    lng_ref,    # (3L+1, D) f32 LayerNorm gains (3 per layer + final)
+    lnb_ref,    # (3L+1, D) f32 LayerNorm biases
+    wqkv_ref,   # (L, D, 3D) dt  [wq | wk | wv]
+    wso_ref,    # (L, D, D) dt   self-attention output proj
+    bso_ref,    # (L, D) f32
+    wcq_ref,    # (L, D, D) dt   cross-attention query proj
+    wco_ref,    # (L, D, D) dt
+    bco_ref,    # (L, D) f32
+    w1_ref,     # (L, D, F) dt
+    b1_ref,     # (L, F) f32
+    w2_ref,     # (L, F, D) dt
+    b2_ref,     # (L, D) f32
+    *rest,      # ck_0..ck_{L-1}, cv_0..cv_{L-1} (Bb, Rp, D) dt inputs;
+                # ids_ref (1, T, Bb) int32 output;
+                # kc_0..kc_{L-1}, vc_0..vc_{L-1} (Bb, Tc, D) dt scratch
+    L: int,
+    H: int,
+    T: int,
+    R: int,
+    id_end: int,
+):
+    ck_refs = rest[:L]
+    cv_refs = rest[L : 2 * L]
+    ids_ref = rest[2 * L]
+    kc_refs = rest[2 * L + 1 : 3 * L + 1]
+    vc_refs = rest[3 * L + 1 : 4 * L + 1]
+
+    table = table_ref[...]
+    V, D = table.shape
+    dt = table.dtype
+    Bb = ck_refs[0].shape[0]
+    Dh = D // H
+    scale = jnp.float32(1.0 / np.sqrt(Dh))
+
+    # constant head-indicator matmuls (f32: exact 0/1 copies)
+    d_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    m_head = (d_ids // Dh == h_ids).astype(jnp.float32)  # (D, H)
+    m_head_t = m_head.T  # (H, D)
+
+    lng = lng_ref[...]
+    lnb = lnb_ref[...]
+    wqkv = wqkv_ref[...]
+    wso = wso_ref[...]
+    bso = bso_ref[...]
+    wcq = wcq_ref[...]
+    wco = wco_ref[...]
+    bco = bco_ref[...]
+    w1 = w1_ref[...]
+    b1 = b1_ref[...]
+    w2 = w2_ref[...]
+    b2 = b2_ref[...]
+
+    col_v = jax.lax.broadcasted_iota(jnp.int32, (Bb, V), 1)
+
+    def matmul(a, w, bias=None):
+        out = jax.lax.dot_general(
+            a, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            out = out + bias[None, :]
+        return out.astype(a.dtype)
+
+    def step(t, carry):
+        x, finished = carry  # x (Bb, D) dt; finished (Bb, 1) int32
+
+        for l in range(L):
+            # --- causal self-attention against the VMEM cache ------------
+            h1 = _ln(x, lng[3 * l], lnb[3 * l])
+            qkv = matmul(h1, wqkv[l])  # (Bb, 3D)
+            q, k_t, v_t = jnp.split(qkv, 3, axis=1)
+            kc_refs[l][:, pl.ds(t, 1), :] = k_t[:, None, :]
+            vc_refs[l][:, pl.ds(t, 1), :] = v_t[:, None, :]
+            sa = _mha_cached(
+                q, kc_refs[l][...], vc_refs[l][...], m_head, m_head_t,
+                scale, t, dt,
+            )
+            x = x + matmul(sa.astype(dt), wso[l], bso[l])
+
+            # --- cross-attention against the precomputed memory KV -------
+            h2 = _ln(x, lng[3 * l + 1], lnb[3 * l + 1])
+            qc = matmul(h2, wcq[l])
+            ca = _mha_cached(
+                qc, ck_refs[l][...], cv_refs[l][...], m_head, m_head_t,
+                scale, R - 1, dt,
+            )
+            x = x + matmul(ca.astype(dt), wco[l], bco[l])
+
+            # --- MLP ------------------------------------------------------
+            h3 = _ln(x, lng[3 * l + 2], lnb[3 * l + 2])
+            hid = jax.nn.relu(matmul(h3, w1[l], b1[l]))
+            x = x + matmul(hid, w2[l], b2[l])
+
+        xf = _ln(x, lng[3 * L], lnb[3 * L])
+        logits = jax.lax.dot_general(
+            xf, outw_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Bb, V) fp32
+
+        ids = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+        ids = jnp.where(finished > 0, jnp.int32(id_end), ids)
+        ids_ref[0, pl.ds(t, 1), :] = ids.T
+        new_finished = jnp.maximum(finished, (ids == id_end).astype(jnp.int32))
+
+        # next input: embedding gather as a one-hot matmul + position
+        onehot = (col_v == ids).astype(dt)
+        emb = jax.lax.dot_general(
+            onehot, table,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_copy_precision(dt),
+        ).astype(dt)
+        tp1 = jnp.minimum(t + 1, T - 1)
+        nxt = emb + pos_ref[pl.ds(tp1, 1), :]
+        return (nxt, new_finished)
+
+    # zero the caches: positions > t are masked out of the softmax, but
+    # uninitialized VMEM garbage (NaN bit patterns) would still reach the
+    # output through 0 * NaN in the value contraction
+    for l in range(L):
+        kc_refs[l][...] = jnp.zeros_like(kc_refs[l])
+        vc_refs[l][...] = jnp.zeros_like(vc_refs[l])
+
+    x0 = jnp.broadcast_to(start_ref[0][None, :], (Bb, D)) + pos_ref[pl.ds(0, 1), :]
+    jax.lax.fori_loop(0, T, step, (x0.astype(dt), jnp.zeros((Bb, 1), jnp.int32)))
+
+
+def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int) -> int:
+    """Largest batch block whose caches + cross-KV fit the VMEM budget
+    (same sizing doctrine as ops/decoder_kernel.py:_auto_block_b; v5e has
+    128 MB physical VMEM, budget 24 MB of per-block tensors leaves room
+    for weights + fp32 intermediates under the 100 MB scoped limit)."""
+    budget = 24 * 1024 * 1024
+    per_row = 2 * L * (Tc + Rp) * D * itemsize
+    bb = 64
+    while bb > 8 and bb * per_row > budget:
+        bb //= 2
+    if bb * per_row > budget:
+        return 0
+    return bb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_length", "id_end", "num_heads", "block_b", "interpret"),
+)
+def transformer_decode_greedy_megakernel(
+    dec_params: Dict,
+    img_feat: jnp.ndarray,  # (B, H, W, C) or (B, R, C)
+    max_length: int,
+    id_end: int,
+    num_heads: int = 8,
+    block_b: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Greedy transformer decode with the whole T-loop in one Pallas
+    kernel. Returns ids (B, max_length) int32 matching
+    transformer_decode_greedy (END-filled after each sequence finishes)."""
+    from ..models.transformer import (
+        encode_memory,
+        sinusoidal_positions,
+        transformer_decode_greedy,
+    )
+
+    mem = encode_memory(dec_params, img_feat)  # (B, R, D)
+    dt = mem.dtype
+    B, R, _ = mem.shape
+    layers = dec_params["layers"]
+    L = len(layers)
+    table = dec_params["embedding_table"]
+    V, D = table.shape
+    T = max_length
+    Tc = _round8(T)
+    Rp = _round8(R)
+
+    if block_b is None:
+        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize)
+        if block_b == 0:
+            return transformer_decode_greedy(
+                dec_params, img_feat, T, id_end, num_heads=num_heads
+            )
+
+    # per-layer cross K/V, head-merged (B, R, D), padded to (Bp, Rp, D)
+    pad_b = (-B) % block_b
+    cks, cvs = [], []
+    for layer in layers:
+        p = layer["cross_attn"]
+        ck = mem @ p["wk"].astype(dt)
+        cv = mem @ p["wv"].astype(dt)
+        cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
+        cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
+    Bp = B + pad_b
+    n_blocks = Bp // block_b
+
+    sqrt_d = float(np.sqrt(D))
+    pos = sinusoidal_positions(Tc, D, dt)
+    table_pre = (table * sqrt_d).astype(dt)
+    start_pre = (dec_params["start_token"] * sqrt_d).astype(dt)[None, :]
+
+    def stack(f):
+        return jnp.stack([f(layer) for layer in layers])
+
+    wqkv = stack(lambda l: jnp.concatenate(
+        [l["self_attn"]["wq"], l["self_attn"]["wk"], l["self_attn"]["wv"]], axis=1
+    )).astype(dt)
+    wso = stack(lambda l: l["self_attn"]["wo"]).astype(dt)
+    bso = stack(lambda l: l["self_attn"]["bo"]).astype(jnp.float32)
+    wcq = stack(lambda l: l["cross_attn"]["wq"]).astype(dt)
+    wco = stack(lambda l: l["cross_attn"]["wo"]).astype(dt)
+    bco = stack(lambda l: l["cross_attn"]["bo"]).astype(jnp.float32)
+    w1 = stack(lambda l: l["mlp"]["w1"]).astype(dt)
+    b1 = stack(lambda l: l["mlp"]["b1"]).astype(jnp.float32)
+    w2 = stack(lambda l: l["mlp"]["w2"]).astype(dt)
+    b2 = stack(lambda l: l["mlp"]["b2"]).astype(jnp.float32)
+    ln_rows = [(l["ln1"], l["ln2"], l["ln3"]) for l in layers]
+    lng = jnp.stack(
+        [p["g"] for row in ln_rows for p in row] + [dec_params["ln_f"]["g"]]
+    ).astype(jnp.float32)
+    lnb = jnp.stack(
+        [p["b"] for row in ln_rows for p in row] + [dec_params["ln_f"]["b"]]
+    ).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _kernel, L=L, H=num_heads, T=T, R=R, id_end=id_end
+    )
+    full = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape), memory_space=pltpu.VMEM)
+    blocked = pl.BlockSpec((block_b, Rp, D), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+
+    ids_tb = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            full(pos.shape), full(table_pre.shape), full(start_pre.shape),
+            full((D, V)), full(lng.shape), full(lnb.shape),
+            full(wqkv.shape), full(wso.shape), full(bso.shape),
+            full(wcq.shape), full(wco.shape), full(bco.shape),
+            full(w1.shape), full(b1.shape), full(w2.shape), full(b2.shape),
+        ] + [blocked] * (2 * L),
+        out_specs=pl.BlockSpec((1, T, block_b), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, T, block_b), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((block_b, Tc, D), dt) for _ in range(2 * L)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        pos, table_pre, start_pre, dec_params["out_w"].astype(dt),
+        lng, lnb, wqkv, wso, bso, wcq, wco, bco, w1, b1, w2, b2,
+        *cks, *cvs,
+    )
+    ids = jnp.transpose(ids_tb, (0, 2, 1)).reshape(Bp, T)
+    return ids[:B]

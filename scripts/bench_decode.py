@@ -9,7 +9,9 @@ megakernel if it becomes the serving flagship.
 Variants (greedy and beam-K for each):
   lstm/megakernel  — ops/decoder_kernel.py Pallas whole-loop kernel (TPU)
   lstm/xla         — models/decoding.py lax.while_loop
-  transformer      — models/transformer.py incremental while_loop + KV cache
+  transformer      — ops/transformer_kernel.py Pallas whole-loop kernel for
+                     greedy (TPU default); beam stays the XLA loop
+  transformer_xla  — models/transformer.py incremental while_loop + KV cache
 
 Prints one JSON line per variant: ms per batch, images/sec.
 
@@ -39,7 +41,8 @@ ap.add_argument("--beam", type=int, default=2)
 ap.add_argument("--vocab", type=int, default=500)
 ap.add_argument("--rounds", type=int, default=5,
                 help="timed rounds; fastest kept (tunneled-chip contention)")
-ap.add_argument("--variants", default="lstm_mega,lstm_xla,transformer",
+ap.add_argument("--variants",
+                default="lstm_mega,lstm_xla,transformer,transformer_xla",
                 help="comma list; transformer4 adds the 4L default config")
 args = ap.parse_args()
 
@@ -64,6 +67,11 @@ VARIANTS = {
     "lstm_xla": dict(use_decoder_megakernel=False),
     "transformer": dict(
         decoder_arch="transformer",
+        transformer_config={"num_layers": 2, "num_heads": 8,
+                            "dim_model": 256, "dim_ff": 1024}),
+    "transformer_xla": dict(
+        decoder_arch="transformer",
+        use_decoder_megakernel=False,
         transformer_config={"num_layers": 2, "num_heads": 8,
                             "dim_model": 256, "dim_ff": 1024}),
     "transformer4": dict(decoder_arch="transformer"),

@@ -1,0 +1,51 @@
+"""Transformer decode megakernel: interpret-mode parity with the XLA loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from latex_ocr_tpu.models.transformer import (
+    init_transformer_decoder_params,
+    transformer_decode_greedy,
+)
+from latex_ocr_tpu.ops.transformer_kernel import transformer_decode_greedy_megakernel
+from latex_ocr_tpu.utils import Config
+
+
+def _cfg(**tf):
+    base = {"num_layers": 2, "num_heads": 4, "dim_model": 32, "dim_ff": 64}
+    base.update(tf)
+    return Config({"attn_cell_config": {"cell_type": "lstm", "num_units": 16,
+                                         "dim_e": 8, "dim_o": 16, "dim_embeddings": 8},
+                   "decoder_arch": "transformer", "transformer_config": base})
+
+
+def test_transformer_megakernel_matches_greedy_interpret():
+    cfg = _cfg()
+    dec = init_transformer_decoder_params(jax.random.PRNGKey(1), cfg, n_tok=11, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(2), (5, 2, 4, 512), jnp.float32)
+    ref = transformer_decode_greedy(dec, feat, 9, 10, num_heads=4)
+    mega = transformer_decode_greedy_megakernel(
+        dec, feat, 9, 10, num_heads=4, block_b=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mega))
+
+
+def test_transformer_megakernel_batch_padding():
+    """B not a multiple of the block: the pad rows must not leak."""
+    cfg = _cfg(num_layers=1, num_heads=2)
+    dec = init_transformer_decoder_params(jax.random.PRNGKey(3), cfg, n_tok=9, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(4), (3, 1, 5, 512), jnp.float32)
+    ref = transformer_decode_greedy(dec, feat, 6, 8, num_heads=2)
+    mega = transformer_decode_greedy_megakernel(
+        dec, feat, 6, 8, num_heads=2, block_b=2, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mega))
+
+
+def test_transformer_megakernel_huge_bucket_fallback():
+    """block_b=None with an R too large for VMEM falls back to the XLA
+    loop (exact same function, so just check it returns sane ids)."""
+    from latex_ocr_tpu.ops.transformer_kernel import _auto_block_b
+
+    assert _auto_block_b(L=6, Tc=152, Rp=20000, D=512, itemsize=4) == 0
