@@ -130,10 +130,10 @@ class Img2SeqModel:
             getattr(config, "use_train_megakernel", False)
         )
         if self.cell_type == "gru":
-            # the decode/train megakernels hand-roll the TF1 LSTM gates in
-            # Pallas; GRU runs the XLA while_loop/scan paths (the fused
-            # Pallas attention context is cell-agnostic and stays on)
-            self.use_megakernel = False
+            # the decode megakernels dispatch on the cell family
+            # (ops/decoder_kernel.py:_cell_update) and cover GRU; the
+            # training megakernel's hand-derived VJP is LSTM-only, so
+            # GRU training runs the XLA scan path
             self.use_train_megakernel = False
         # Sequence parallelism over image regions (SURVEY §2.3 SP row):
         # `region_parallel: true` + a mesh carrying a "region" axis routes

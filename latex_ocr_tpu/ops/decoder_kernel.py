@@ -24,6 +24,10 @@ step and the whole step graph is one kernel launch. Wired as the default
 greedy decode on TPU via Img2SeqModel (config `use_decoder_megakernel`,
 default "auto").
 
+Both kernels dispatch on the recurrence family (`_cell_update`): the TF1
+LSTM gates or the torch-semantics GRU (models/decoder.py:gru_step), so
+`cell_type: "gru"` keeps the megakernel decode paths.
+
 Beam variant `decode_beam_megakernel`: same VMEM-residency story, beam
 rows folded into the sublane axis (row b*K + k), per-group flat top-k as
 K rounds of segment argmax built from constant one-hot matmuls —
@@ -33,6 +37,13 @@ toolchain, so everything stays (Bb*K, ·)-shaped. Measured on v5e
 93.2 ms vs 2230 ms (24x). Wired as the default beam decode on TPU
 (falls back to XLA for the diversity penalty, gated attention, or
 huge buckets).
+
+Interpret-mode parity note: the kernels compute the Bahdanau score as
+sum(e * beta) where XLA runs e @ beta — different accumulation order
+over dim_e. At the small test dims this is exact; at dim_e ~512 with
+*untrained* near-uniform logits the accumulated beam scores can drift
+~1e-3 relative and flip near-tied beams (LSTM and GRU alike) — the same
+inherent near-tie caveat as the compiled path above. Greedy stays exact.
 """
 
 from __future__ import annotations
@@ -60,26 +71,97 @@ def _copy_precision(dt):
     return _EXACT if dt == jnp.float32 else None
 
 
+def _cell_update(cell, cell_refs, emb, o, c, h):
+    """Recurrent cell inside the kernel: (new_c, new_h).
+
+    Mirrors models/decoder.py lstm_step / gru_step computation order
+    exactly (same concat/matmul/bias association) so interpret-mode
+    output is bit-identical to the XLA decode loop. `cell` is a static
+    Python string; `cell_refs` are the cell's VMEM weight refs —
+    (w, b) for lstm, (w_ih, w_hh, b_ih, b_hh) for gru.
+    """
+    if cell == "lstm":
+        w_ref, b_ref = cell_refs
+        z = jax.lax.dot_general(
+            jnp.concatenate([emb, o, h], axis=1),
+            w_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[0][None, :]
+        i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
+        new_c = c * jax.nn.sigmoid(f_g + 1.0) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
+        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        return new_c, new_h
+    # torch.nn.GRUCell semantics (models/decoder.py:gru_step): the reset
+    # gate scales the post-matmul hidden candidate; cell state unused.
+    w_ih_ref, w_hh_ref, b_ih_ref, b_hh_ref = cell_refs
+    gi = jax.lax.dot_general(
+        jnp.concatenate([emb, o], axis=1),
+        w_ih_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ih_ref[0][None, :]
+    gh = jax.lax.dot_general(
+        h, w_hh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_hh_ref[0][None, :]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z_g = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return c, (1.0 - z_g) * n + z_g * h
+
+
+def _cell_inputs_specs(dec_params: Dict, dt):
+    """(cell, inputs, specs) for the kernel's cell-weight slots."""
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda b, n=len(shape): (0,) * n, memory_space=pltpu.VMEM
+    )
+    if "gru" in dec_params:
+        g = dec_params["gru"]
+        inputs = [
+            g["w_ih"].astype(dt),
+            g["w_hh"].astype(dt),
+            g["b_ih"].astype(jnp.float32)[None, :],
+            g["b_hh"].astype(jnp.float32)[None, :],
+        ]
+        return "gru", inputs, [full(x.shape) for x in inputs]
+    inputs = [
+        dec_params["lstm"]["w"].astype(dt),
+        dec_params["lstm"]["b"].astype(jnp.float32)[None, :],
+    ]
+    return "lstm", inputs, [full(x.shape) for x in inputs]
+
+
 def _kernel(
     att_img_ref,  # (Bb, R, E)
     regions_ref,  # (Bb, R, C)
     c0_ref,  # (Bb, U)
     h0_ref,  # (Bb, U)
     o0_ref,  # (Bb, O)
-    lstm_w_ref,  # (emb+O+U, 4U)
-    lstm_b_ref,  # (1, 4U)
-    att_h_w_ref,  # (U, E)
-    beta_ref,  # (1, E)
-    o_w_h_ref,  # (U, O)
-    o_w_c_ref,  # (C, O)
-    y_w_o_ref,  # (O, V)
-    table_ref,  # (V, emb)
-    start_ref,  # (1, emb)
-    ids_ref,  # (1, T, Bb) output int32
-    *,
+    *rest,  # cell weight refs — (w (emb+O+U, 4U), b (1, 4U)) for lstm,
+            # (w_ih (emb+O, 3U), w_hh (U, 3U), b_ih, b_hh (1, 3U)) for
+            # gru — then att_h_w (U, E), beta (1, E), o_w_h (U, O),
+            # o_w_c (C, O), y_w_o (O, V), table (V, emb), start (1, emb),
+            # ids (1, T, Bb) output int32
     T: int,
     id_end: int,
+    cell: str = "lstm",
 ):
+    n_cell = 2 if cell == "lstm" else 4
+    cell_refs = rest[:n_cell]
+    (
+        att_h_w_ref,
+        beta_ref,
+        o_w_h_ref,
+        o_w_c_ref,
+        y_w_o_ref,
+        table_ref,
+        start_ref,
+        ids_ref,
+    ) = rest[n_cell:]
     att_img = att_img_ref[...]
     regions = regions_ref[...]
     Bb, R, E = att_img.shape
@@ -89,15 +171,7 @@ def _kernel(
 
     def step(t, carry):
         c, h, o, emb, finished = carry
-        z = jax.lax.dot_general(
-            jnp.concatenate([emb, o, h], axis=1),
-            lstm_w_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + lstm_b_ref[0][None, :]
-        i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
-        new_c = c * jax.nn.sigmoid(f_g + 1.0) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
-        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        new_c, new_h = _cell_update(cell, cell_refs, emb, o, c, h)
 
         att_h = jax.lax.dot_general(
             new_h, att_h_w_ref[...],
@@ -257,13 +331,12 @@ def decode_greedy_megakernel(
     n_blocks = Bp // block_b
 
     dt = regions.dtype
-    lstm_w = dec_params["lstm"]["w"].astype(dt)
-    lstm_b = dec_params["lstm"]["b"].astype(jnp.float32)[None, :]
+    cell, cell_inputs, cell_specs = _cell_inputs_specs(dec_params, dt)
     att = dec_params["att"]
     out = dec_params["out"]
     T = max_length
 
-    kernel = functools.partial(_kernel, T=T, id_end=id_end)
+    kernel = functools.partial(_kernel, T=T, id_end=id_end, cell=cell)
 
     ids_tb = pl.pallas_call(
         kernel,
@@ -274,8 +347,7 @@ def decode_greedy_megakernel(
             pl.BlockSpec((block_b, s0.c.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, s0.h.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, s0.o.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lstm_w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lstm_b.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            *cell_specs,
             pl.BlockSpec(att["h_w"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, att["beta"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(out["o_w_h"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -297,8 +369,7 @@ def decode_greedy_megakernel(
         s0.c.astype(dt),
         s0.h.astype(dt),
         s0.o.astype(dt),
-        lstm_w,
-        lstm_b,
+        *cell_inputs,
         att["h_w"].astype(dt),
         att["beta"].astype(dt)[None, :],
         out["o_w_h"].astype(dt),
@@ -321,24 +392,17 @@ def _beam_kernel(
     c0_ref,  # (Bb, U)
     h0_ref,  # (Bb, U)
     o0_ref,  # (Bb, O)
-    lstm_w_ref,  # (emb+O+U, 4U)
-    lstm_b_ref,  # (1, 4U)
-    att_h_w_ref,  # (U, E)
-    beta_ref,  # (1, E)
-    o_w_h_ref,  # (U, O)
-    o_w_c_ref,  # (C, O)
-    y_w_o_ref,  # (O, V)
-    table_ref,  # (V, emb)
-    start_ref,  # (1, emb)
-    ids_ref,  # (1, T, Bb*K) int32
-    parents_ref,  # (1, T, Bb*K) int32 (within-K parent index)
-    lp_ref,  # (1, Bb*K, 1) fp32 final raw scores
-    len_ref,  # (1, Bb*K, 1) int32 hypothesis lengths incl. END
-    *,
+    *rest,  # cell weight refs (see _kernel) — then att_h_w (U, E),
+            # beta (1, E), o_w_h (U, O), o_w_c (C, O), y_w_o (O, V),
+            # table (V, emb), start (1, emb), and the outputs:
+            # ids (1, T, Bb*K) int32, parents (1, T, Bb*K) int32
+            # (within-K parent index), lp (1, Bb*K, 1) fp32 final raw
+            # scores, len (1, Bb*K, 1) int32 hyp lengths incl. END
     T: int,
     K: int,
     id_end: int,
     div_log_gamma: float = 0.0,
+    cell: str = "lstm",
 ):
     """Full beam search, T steps in one kernel instance.
 
@@ -350,6 +414,21 @@ def _beam_kernel(
     broadcast over the fold is a one-hot matmul (Mosaic has no dynamic
     row gather, and the MXU eats these for free at this size).
     """
+    n_cell = 2 if cell == "lstm" else 4
+    cell_refs = rest[:n_cell]
+    (
+        att_h_w_ref,
+        beta_ref,
+        o_w_h_ref,
+        o_w_c_ref,
+        y_w_o_ref,
+        table_ref,
+        start_ref,
+        ids_ref,
+        parents_ref,
+        lp_ref,
+        len_ref,
+    ) = rest[n_cell:]
     att_img = att_img_ref[...]
     regions = regions_ref[...]
     Bb, R, E = att_img.shape
@@ -416,15 +495,7 @@ def _beam_kernel(
     def step(t, carry):
         c, h, o, emb, log_probs, finished, lengths = carry
 
-        z = jax.lax.dot_general(
-            jnp.concatenate([emb, o, h], axis=1),
-            lstm_w_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + lstm_b_ref[0][None, :]
-        i_g, j_g, f_g, o_g = jnp.split(z, 4, axis=1)
-        new_c = c * jax.nn.sigmoid(f_g + 1.0) + jax.nn.sigmoid(i_g) * jnp.tanh(j_g)
-        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o_g)
+        new_c, new_h = _cell_update(cell, cell_refs, emb, o, c, h)
 
         att_h = jax.lax.dot_general(
             new_h, att_h_w_ref[...],
@@ -665,8 +736,7 @@ def decode_beam_megakernel(
     BK = block_b * K
 
     dt = regions.dtype
-    lstm_w = dec_params["lstm"]["w"].astype(dt)
-    lstm_b = dec_params["lstm"]["b"].astype(jnp.float32)[None, :]
+    cell, cell_inputs, cell_specs = _cell_inputs_specs(dec_params, dt)
     att = dec_params["att"]
     out = dec_params["out"]
     T = max_length
@@ -674,6 +744,7 @@ def decode_beam_megakernel(
     kernel = functools.partial(
         _beam_kernel, T=T, K=K, id_end=id_end,
         div_log_gamma=float(np.log(div_gamma)) if div_kernel_ok else 0.0,
+        cell=cell,
     )
 
     ids_tb, parents_tb, lp, lens = pl.pallas_call(
@@ -685,8 +756,7 @@ def decode_beam_megakernel(
             pl.BlockSpec((block_b, s0.c.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, s0.h.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, s0.o.shape[-1]), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lstm_w.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(lstm_b.shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
+            *cell_specs,
             pl.BlockSpec(att["h_w"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, att["beta"].shape[0]), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(out["o_w_h"].shape, lambda b: (0, 0), memory_space=pltpu.VMEM),
@@ -718,8 +788,7 @@ def decode_beam_megakernel(
         s0.c.astype(dt),
         s0.h.astype(dt),
         s0.o.astype(dt),
-        lstm_w,
-        lstm_b,
+        *cell_inputs,
         att["h_w"].astype(dt),
         att["beta"].astype(dt)[None, :],
         out["o_w_h"].astype(dt),

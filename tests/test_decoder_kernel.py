@@ -75,3 +75,41 @@ def test_beam_megakernel_div_penalty_matches_xla():
         block_b=4, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+
+
+def _gru_cfg():
+    return Config({"attn_cell_config": {"cell_type": "gru", "num_units": 16,
+                                         "dim_e": 8, "dim_o": 16,
+                                         "dim_embeddings": 8}})
+
+
+def test_megakernel_gru_matches_decode_greedy_interpret():
+    """The cell dispatch (ops/decoder_kernel.py:_cell_update) covers GRU:
+    greedy megakernel == XLA decode_greedy for cell_type=gru."""
+    dec = init_decoder_params(jax.random.PRNGKey(4), _gru_cfg(), n_tok=11,
+                              n_channels=512)
+    assert "gru" in dec and "lstm" not in dec
+    feat = jax.random.normal(jax.random.PRNGKey(5), (5, 2, 4, 512), jnp.float32)
+    ref = decode_greedy(dec, feat, 7, 10)
+    mega = decode_greedy_megakernel(dec, feat, 7, 10, block_b=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(mega))
+
+
+def test_beam_megakernel_gru_matches_decode_beam_interpret():
+    from latex_ocr_tpu.models.decoding import decode_beam
+    from latex_ocr_tpu.ops.decoder_kernel import decode_beam_megakernel
+
+    dec = init_decoder_params(jax.random.PRNGKey(4), _gru_cfg(), n_tok=11,
+                              n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(6), (3, 2, 4, 512), jnp.float32)
+    for alpha in (0.0, 0.6):
+        ref = decode_beam(dec, feat, 7, 10, beam_size=3, length_norm_alpha=alpha)
+        mega = decode_beam_megakernel(
+            dec, feat, 7, 10, beam_size=3, length_norm_alpha=alpha,
+            block_b=2, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+        np.testing.assert_allclose(
+            np.asarray(ref.log_probs), np.asarray(mega.log_probs),
+            rtol=1e-5, atol=1e-5,
+        )
