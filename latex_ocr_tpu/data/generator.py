@@ -85,9 +85,11 @@ class DataGenerator:
         self._iter_mode = "full"
 
         buffers: dict = {}
+        groups: dict = {}  # full per-shape listings, kept for reshuffle()
         idx = -1
         for idx, (img, _formula, img_path, formula_id) in enumerate(self):
             shape = img.shape
+            groups.setdefault(shape, []).append((img_path, formula_id))
             buf = buffers.setdefault(shape, [])
             if len(buf) == bucket_size:
                 bucketed.extend(buf)
@@ -98,8 +100,29 @@ class DataGenerator:
 
         self._iter_mode = old_mode
         self._length = idx + 1
+        self._shape_groups = groups
         print(f"- done ({self._length} items, {len(buffers)} shapes).")
         return bucketed
+
+    def reshuffle(self, rng) -> None:
+        """Re-draw the bucketed listing for a new epoch: item order within
+        each shape group and the order of the flushed runs both shuffle
+        under ``rng`` (np.random.Generator), while runs keep a single
+        image shape so the static-shape batch contract holds. No-op for
+        un-bucketed datasets (nothing cached to permute)."""
+        groups = getattr(self, "_shape_groups", None)
+        if not groups:
+            return
+        runs = []
+        for items in groups.values():
+            items = list(items)
+            rng.shuffle(items)
+            runs.extend(
+                items[i : i + self._bucket_size]
+                for i in range(0, len(items), self._bucket_size)
+            )
+        rng.shuffle(runs)
+        self._data_generator = [ex for run in runs for ex in run]
 
     def _get_raw_formula(self, formula_id) -> str:
         try:

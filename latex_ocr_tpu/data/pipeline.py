@@ -133,6 +133,7 @@ class BatchPipeline:
         max_formula_len: int = 151,
         sharding=None,
         prefetch: int = 2,
+        shuffle_seed: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -143,6 +144,18 @@ class BatchPipeline:
         self.max_formula_len = max_formula_len
         self.sharding = sharding
         self.prefetch = prefetch
+        self.shuffle_seed = shuffle_seed
+
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch-seeded reshuffle (same contract as the cached pipeline's
+        set_epoch: deterministic given (shuffle_seed, epoch), so exact
+        resume replays the same order). Requires a bucketed DataGenerator;
+        silently keeps file order otherwise."""
+        if self.shuffle_seed is None:
+            return
+        reshuffle = getattr(self.dataset, "reshuffle", None)
+        if reshuffle is not None:
+            reshuffle(np.random.default_rng(self.shuffle_seed + epoch))
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         from ..utils.general import minibatches

@@ -55,6 +55,16 @@ class Trainer:
         ):
             return dataset_or_pipeline  # already a pipeline
         model = self.model
+        # `shuffle_data: true` turns on epoch-seeded reshuffling of the
+        # bucketed listing (seeded by `seed`, so distinct seeds give
+        # genuinely distinct SGD trajectories even with dropout off).
+        # Opt-in: the curriculum A/B chains rely on bit-identical data
+        # order across decoder families.
+        shuffle_seed = (
+            int(getattr(self.config, "seed", 0))
+            if getattr(self.config, "shuffle_data", False)
+            else None
+        )
         return BatchPipeline(
             dataset_or_pipeline,
             batch_size,
@@ -63,6 +73,7 @@ class Trainer:
             buckets=getattr(self.config, "buckets", None),
             max_formula_len=model.max_length,
             sharding=self.sharding,
+            shuffle_seed=shuffle_seed,
         )
 
     # ------------------------------------------------------------------ train

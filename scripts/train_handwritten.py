@@ -54,6 +54,10 @@ cfg = Config({
     "path_vocab": base + "vocab.txt",
     "batch_size": args.batch_size, "n_epochs": args.n_epochs, "dropout": 1.0,
     "clip": 5.0, "lr_method": "adam", "buckets": buckets, "seed": args.seed,
+    # per-epoch data reshuffle seeded by --seed: without it (and with
+    # dropout off) the fine-tune is fully deterministic and a "3-seed
+    # spread" would be three identical runs
+    "shuffle_data": True,
     "eval_every": 3,
     **{f"path_formulas_{s}": base + f"{s}.formulas.norm.txt" for s in ("train", "val", "test")},
     **{f"dir_images_{s}": base + f"images_{s}/" for s in ("train", "val", "test")},
