@@ -233,11 +233,21 @@ def _kernel(
 
 
 def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int) -> int:
-    """Largest batch block whose caches + cross-KV fit the VMEM budget
-    (same sizing doctrine as ops/decoder_kernel.py:_auto_block_b; v5e has
-    128 MB physical VMEM, budget 24 MB of per-block tensors leaves room
-    for weights + fp32 intermediates under the 100 MB scoped limit)."""
-    budget = 24 * 1024 * 1024
+    """Largest batch block whose caches + cross-KV fit the VMEM budget.
+
+    Sizing doctrine differs from ops/decoder_kernel.py's 24 MB: there the
+    weights are big (the (1104, 2048) LSTM kernel + 512-wide projections)
+    and the image tensors are the per-row cost; here the decoder weights
+    are small (~6 MB at 2L/256d) and the KV caches dominate, so the
+    per-block budget can take 40 MB of the 100 MB scoped limit and still
+    leave room for the double-buffered cross-KV input copies and the fp32
+    attention transients. The block size is the MXU lever: every per-step
+    matmul has bb rows, so bb=8 runs the systolic array at 8/128 row
+    utilization — measured on v5e (B=256, R=300, T=150, f32, 2L/256d)
+    the 24 MB budget's bb=8 decoded at 146 ms; bb=16 under this budget
+    nearly halves that. Returns 0 (caller falls back to the XLA loop)
+    when even bb=8 does not fit (huge-R buckets)."""
+    budget = 40 * 1024 * 1024
     per_row = 2 * L * (Tc + Rp) * D * itemsize
     bb = 64
     while bb > 8 and bb * per_row > budget:
