@@ -357,7 +357,10 @@ def transformer_decode_greedy_megakernel(
         out_shape=jax.ShapeDtypeStruct((n_blocks, T, block_b), jnp.int32),
         scratch_shapes=[pltpu.VMEM((block_b, Tc, D), dt) for _ in range(2 * L)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            # blocks are independent (caches re-zeroed per block):
+            # "parallel" lets the pipeline overlap the next block's
+            # cross-KV input copies with this block's decode loop
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
