@@ -62,9 +62,16 @@ def make_model(decoding: str, **over):
     return model, params
 
 
+def _gru(**kw):
+    cell = dict(ge.FLAGSHIP_MODEL["attn_cell_config"], cell_type="gru")
+    return dict(attn_cell_config=cell, **kw)
+
+
 VARIANTS = {
     "lstm_mega": dict(),
     "lstm_xla": dict(use_decoder_megakernel=False),
+    "gru_mega": _gru(),
+    "gru_xla": _gru(use_decoder_megakernel=False),
     "transformer": dict(
         decoder_arch="transformer",
         transformer_config={"num_layers": 2, "num_heads": 8,
