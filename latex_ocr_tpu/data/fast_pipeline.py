@@ -155,8 +155,10 @@ class CachedBatchPipeline:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         import jax
 
+        # pair-seeded (not seed+epoch summed) so consecutive-seed runs
+        # don't share shuffle streams — see data/pipeline.py set_epoch
         rng = (
-            np.random.default_rng(self.shuffle_seed + self._epoch)
+            np.random.default_rng([self.shuffle_seed, self._epoch])
             if self.shuffle_seed is not None
             else None
         )

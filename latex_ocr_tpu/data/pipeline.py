@@ -155,7 +155,11 @@ class BatchPipeline:
             return
         reshuffle = getattr(self.dataset, "reshuffle", None)
         if reshuffle is not None:
-            reshuffle(np.random.default_rng(self.shuffle_seed + epoch))
+            # seed with the PAIR, not the sum: default_rng(seed + epoch)
+            # makes seed s at epoch e+1 collide with seed s+1 at epoch e,
+            # overlapping the shuffle streams of consecutive-seed runs;
+            # SeedSequence mixes the pair without cross-seed collisions
+            reshuffle(np.random.default_rng([self.shuffle_seed, epoch]))
 
     def _host_batches(self) -> Iterator[Dict[str, np.ndarray]]:
         from ..utils.general import minibatches

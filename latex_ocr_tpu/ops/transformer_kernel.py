@@ -21,7 +21,8 @@ head-indicator matrix M[d, h] = [d // Dh == h]:
     out(b, d)        = sum_t' (w @ M^T)(b, t', d) * V[b, t', d]
 
 The (Bb, T, D) -> (Bb*T, D) merge is layout-free when T is padded to the
-sublane tile, which `_round8` guarantees.
+dtype's sublane tile (8 rows for f32, 16 for bf16), which `_round_tile`
+guarantees.
 
 Semantics mirror transformer_decode_greedy exactly (argmax ties under
 fused hardware rounding can differ, same caveat as the LSTM megakernel,
@@ -52,8 +53,16 @@ def _copy_precision(dt):
     return _EXACT if dt == jnp.float32 else None
 
 
-def _round8(x: int) -> int:
-    return ((x + 7) // 8) * 8
+def _round_tile(x: int, itemsize: int) -> int:
+    """Round up to the sublane tile for this dtype (f32: 8, bf16: 16).
+
+    The kernel's layout-free (Bb, T, D) -> (Bb*T, D) merges require the
+    second-to-last dim padded to the dtype's sublane tile — 8 rows for
+    4-byte types but 16 for bf16 (packed (16, 128) tiles), so rounding
+    to 8 unconditionally would violate the kernel's own precondition
+    under `decoder_dtype: bfloat16`."""
+    tile = max(8, 32 // itemsize)
+    return ((x + tile - 1) // tile) * tile
 
 
 def _ln(x, g, b):
@@ -232,27 +241,41 @@ def _kernel(
     jax.lax.fori_loop(0, T, step, (x0.astype(dt), jnp.zeros((Bb, 1), jnp.int32)))
 
 
-def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int) -> int:
-    """Largest batch block whose caches + cross-KV fit the VMEM budget.
+def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
+                  V: int = 0, F: int = 0) -> int:
+    """Largest batch block whose VMEM working set fits the budget.
 
-    Sizing doctrine differs from ops/decoder_kernel.py's 24 MB: there the
-    weights are big (the (1104, 2048) LSTM kernel + 512-wide projections)
-    and the image tensors are the per-row cost; here the decoder weights
-    are small (~6 MB at 2L/256d) and the KV caches dominate, so the
-    per-block budget can take 40 MB of the 100 MB scoped limit and still
-    leave room for the double-buffered cross-KV input copies and the fp32
-    attention transients. The block size is the MXU lever: every per-step
-    matmul has bb rows, so bb=8 runs the systolic array at 8/128 row
-    utilization — measured on v5e (B=256, R=300, T=150, f32, 2L/256d)
-    the 24 MB budget's bb=8 decoded at 146 ms; bb=16 under this budget
-    nearly halves that. Returns 0 (caller falls back to the XLA loop)
-    when even bb=8 does not fit (huge-R buckets)."""
-    budget = 40 * 1024 * 1024
-    per_row = 2 * L * (Tc + Rp) * D * itemsize
+    The working set has a fixed part — decoder weights, the (V, D)
+    embedding table and (D, V) output matrix, LN/bias rows, positional
+    table — and a per-batch-row part: the KV-cache scratch (Tc) plus the
+    blocked cross-KV input copies, counted TWICE because the "parallel"
+    grid double-buffers the next block's copies against this block's
+    decode loop. Budgeting only the caches (the pre-r4 rule) compiled
+    fine at 2L/256d/V=500 but let a large vocab or deeper/wider config
+    blow the 100 MB vmem_limit at compile time on the DEFAULT decode
+    path; with the complete accounting, oversized configs return 0 and
+    take the XLA-loop fallback instead.
+
+    The block size is the MXU lever: every per-step matmul has bb rows,
+    so bb=8 runs the systolic array at 8/128 row utilization — measured
+    on v5e (B=256, R=300, T=150, f32, 2L/256d) bb=8 decoded at 146 ms;
+    bb=16 nearly halves that. The 72 MB budget keeps that config at
+    bb=16 (fixed ~8.5 MB + 16 rows x ~3.0 MB = ~56 MB) while leaving
+    ~28 MB of the 100 MB scoped limit for the fp32 attention transients
+    and the output block."""
+    budget = 72 * 1024 * 1024
+    fixed = itemsize * (
+        Tc * D                      # positional table
+        + (V + 1) * D + D * V       # embedding table + start + out_w
+        + L * (3 * D * D            # wqkv
+               + 3 * D * D          # wso, wcq, wco
+               + 2 * D * F)         # mlp w1/w2
+    ) + 4 * (L * (2 * D + F + D) + (3 * L + 1) * 2 * D)  # biases + LN rows
+    per_row = 2 * L * (Tc + 2 * Rp) * D * itemsize
     bb = 64
-    while bb > 8 and bb * per_row > budget:
+    while bb > 8 and fixed + bb * per_row > budget:
         bb //= 2
-    if bb * per_row > budget:
+    if fixed + bb * per_row > budget:
         return 0
     return bb
 
@@ -287,11 +310,12 @@ def transformer_decode_greedy_megakernel(
     table = dec_params["embedding_table"]
     V, D = table.shape
     T = max_length
-    Tc = _round8(T)
-    Rp = _round8(R)
+    Tc = _round_tile(T, dt.itemsize)
+    Rp = _round_tile(R, dt.itemsize)
 
     if block_b is None:
-        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize)
+        F = layers[0]["mlp"]["w1"].shape[1]
+        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize, V=V, F=F)
         if block_b == 0:
             return transformer_decode_greedy(
                 dec_params, img_feat, T, id_end, num_heads=num_heads

@@ -12,7 +12,12 @@
 set -e
 cd "$(dirname "$0")/.."
 
+# --clip 1.0 on the lr>=5e-4 phases: the GRU family recurrently diverges
+# under the LSTM-tuned clip 5.0 at those rates (19/10 loss spikes in the
+# r3 Uni/Syn runs, incl. a val-EM-0.00 collapse); measured diagnosis and
+# the clip A/B are in design.md §16.8 / RESULTS.md "GRU stability A/B".
 GRU_ARGS=(--cell-type gru)
+GRU_HOT=(--clip 1.0)
 
 for d in data/im2latexEZ data/im2latexUni data/im2latexSyn \
          data/im2latexSynOOV data/im2latexSynLong; do
@@ -20,16 +25,16 @@ for d in data/im2latexEZ data/im2latexUni data/im2latexSyn \
 done
 
 python scripts/train_im2latex_syn.py --data-dir data/im2latexEZ \
-    --out results/im2latexEZ_gru/ --dropout 1.0 --n-epochs 25 \
+    --out results/im2latexEZ_gru/ "${GRU_HOT[@]}" --dropout 1.0 --n-epochs 25 \
     --batch-size 64 --max-length 11 --lr-init 1e-3 --lr-min 1e-4 \
     "${GRU_ARGS[@]}"
 
 python scripts/train_im2latex_syn.py --data-dir data/im2latexUni \
-    --out results/im2latexUni_gru/ --dropout 1.0 --n-epochs 20 \
+    --out results/im2latexUni_gru/ "${GRU_HOT[@]}" --dropout 1.0 --n-epochs 20 \
     --max-length 110 --warm-start results/im2latexEZ_gru "${GRU_ARGS[@]}"
 
 python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \
-    --out results/im2latexSyn_gru/ --dropout 1.0 --n-epochs 60 \
+    --out results/im2latexSyn_gru/ "${GRU_HOT[@]}" --dropout 1.0 --n-epochs 60 \
     --warm-start results/im2latexUni_gru "${GRU_ARGS[@]}"
 
 python scripts/train_im2latex_syn.py --data-dir data/im2latexSyn \

@@ -73,6 +73,11 @@ ap.add_argument("--warmup", type=int, default=2000,
 ap.add_argument("--transformer-config", default=None,
                 help='JSON dict overriding models/transformer.py defaults, '
                      'e.g. \'{"num_layers": 4, "dim_model": 256}\'')
+ap.add_argument("--clip", type=float, default=5.0,
+                help="global-norm gradient clip (models/img2seq.py "
+                     "optimizer factory). The LSTM-tuned 5.0 never engages "
+                     "at converged gradient scale (~1e-2); the GRU family "
+                     "needs 1.0 at lr >= 5e-4 (design.md §16.8)")
 ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
@@ -100,7 +105,7 @@ cfg = Config({
     "path_vocab": base + "vocab.txt",
     "batch_size": args.batch_size, "n_epochs": args.n_epochs,
     "dropout": args.dropout,
-    "clip": 5.0,
+    "clip": args.clip,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
     "alpha_c": args.alpha_c,
     "label_smoothing": args.label_smoothing,
