@@ -381,6 +381,19 @@ class Img2SeqModel:
                     "transformer's cross-attention is per-layer/per-head and "
                     "has no single coverage distribution to accumulate"
                 )
+            if self.use_megakernel:
+                from ..ops.transformer_kernel import (
+                    transformer_decode_beam_megakernel,
+                )
+
+                # falls back to the XLA loop itself for the stochastic
+                # diversity penalty or VMEM-oversized (K-scaled) configs
+                return transformer_decode_beam_megakernel(
+                    dec_params, feat, self.max_length, self.id_end,
+                    self.beam_size, length_norm_alpha=self.length_norm_alpha,
+                    num_heads=self.num_heads,
+                    div_gamma=self.div_gamma, div_prob=self.div_prob,
+                )
             return transformer_decode_beam(
                 dec_params, feat, self.max_length, self.id_end,
                 self.beam_size, div_gamma=self.div_gamma, div_prob=self.div_prob,

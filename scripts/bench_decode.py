@@ -9,8 +9,8 @@ megakernel if it becomes the serving flagship.
 Variants (greedy and beam-K for each):
   lstm/megakernel  — ops/decoder_kernel.py Pallas whole-loop kernel (TPU)
   lstm/xla         — models/decoding.py lax.while_loop
-  transformer      — ops/transformer_kernel.py Pallas whole-loop kernel for
-                     greedy (TPU default); beam stays the XLA loop
+  transformer      — ops/transformer_kernel.py Pallas whole-loop kernels
+                     (greedy + beam, TPU defaults)
   transformer_xla  — models/transformer.py incremental while_loop + KV cache
 
 Prints one JSON line per variant: ms per batch, images/sec.

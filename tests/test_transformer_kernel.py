@@ -49,3 +49,65 @@ def test_transformer_megakernel_huge_bucket_fallback():
     from latex_ocr_tpu.ops.transformer_kernel import _auto_block_b
 
     assert _auto_block_b(L=6, Tc=152, Rp=20000, D=512, itemsize=4) == 0
+
+
+def test_transformer_beam_megakernel_matches_xla_interpret():
+    from latex_ocr_tpu.models.transformer import transformer_decode_beam
+    from latex_ocr_tpu.ops.transformer_kernel import (
+        transformer_decode_beam_megakernel,
+    )
+
+    cfg = _cfg()
+    dec = init_transformer_decoder_params(jax.random.PRNGKey(5), cfg, n_tok=11, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(6), (5, 2, 4, 512), jnp.float32)
+    ref = transformer_decode_beam(dec, feat, 9, 10, beam_size=2, num_heads=4)
+    mega = transformer_decode_beam_megakernel(
+        dec, feat, 9, 10, beam_size=2, num_heads=4, block_b=4, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+    np.testing.assert_allclose(
+        np.asarray(ref.log_probs), np.asarray(mega.log_probs), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_transformer_beam_megakernel_k5_length_norm():
+    from latex_ocr_tpu.models.transformer import transformer_decode_beam
+    from latex_ocr_tpu.ops.transformer_kernel import (
+        transformer_decode_beam_megakernel,
+    )
+
+    cfg = _cfg(num_layers=1, num_heads=2)
+    dec = init_transformer_decoder_params(jax.random.PRNGKey(7), cfg, n_tok=9, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(8), (3, 1, 5, 512), jnp.float32)
+    ref = transformer_decode_beam(
+        dec, feat, 7, 8, beam_size=5, num_heads=2, length_norm_alpha=0.6
+    )
+    mega = transformer_decode_beam_megakernel(
+        dec, feat, 7, 8, beam_size=5, num_heads=2, length_norm_alpha=0.6,
+        block_b=2, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
+    np.testing.assert_allclose(
+        np.asarray(ref.log_probs), np.asarray(mega.log_probs), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_transformer_beam_megakernel_stochastic_div_falls_back():
+    """div_prob < 1 uses the XLA loop's random stream — the wrapper must
+    return the XLA result exactly (it IS the XLA path)."""
+    from latex_ocr_tpu.models.transformer import transformer_decode_beam
+    from latex_ocr_tpu.ops.transformer_kernel import (
+        transformer_decode_beam_megakernel,
+    )
+
+    cfg = _cfg(num_layers=1, num_heads=2)
+    dec = init_transformer_decoder_params(jax.random.PRNGKey(9), cfg, n_tok=9, n_channels=512)
+    feat = jax.random.normal(jax.random.PRNGKey(10), (2, 1, 5, 512), jnp.float32)
+    ref = transformer_decode_beam(
+        dec, feat, 6, 8, beam_size=2, num_heads=2, div_gamma=0.5, div_prob=0.5
+    )
+    mega = transformer_decode_beam_megakernel(
+        dec, feat, 6, 8, beam_size=2, num_heads=2,
+        div_gamma=0.5, div_prob=0.5, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(mega.ids))
