@@ -105,7 +105,15 @@ class CheckpointManager:
             prev_level = absl_logger.level
             absl_logger.setLevel(logging.ERROR)
             try:
-                restored = self._mgr.restore(step)
+                try:
+                    restored = self._mgr.restore(step)
+                except ValueError:
+                    # the saved shardings name devices this process doesn't
+                    # have (e.g. a TPU-written checkpoint restored on a CPU
+                    # host for eval/oracle work) — re-read every leaf as a
+                    # plain numpy array instead; params_like casting below
+                    # puts them on the local default device
+                    restored = self._restore_as_numpy(step)
             finally:
                 absl_logger.setLevel(prev_level)
         params = restored["params"]
@@ -125,6 +133,22 @@ class CheckpointManager:
 
             params = jax.tree.map(_cast, params_like, params)
         return params
+
+    def _restore_as_numpy(self, step: int) -> Dict:
+        """Device-free restore: every leaf comes back as np.ndarray.
+
+        Used when the checkpoint's saved shardings reference devices this
+        process doesn't have (cross-platform restore, e.g. TPU-written →
+        CPU eval host)."""
+        import numpy as np
+
+        path = os.path.join(self.dir_model, str(step), "default")
+        ckptr = ocp.PyTreeCheckpointer()
+        tree = ckptr.metadata(path).item_metadata.tree
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+        )
+        return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
     def close(self) -> None:
         self._mgr.close()
