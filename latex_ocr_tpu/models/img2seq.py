@@ -146,25 +146,36 @@ class Img2SeqModel:
         self.region_parallel = bool(getattr(config, "region_parallel", False))
         self.mesh = mesh
         self._attn_fn = None
+        self._cross_mha = None
         if self.region_parallel:
-            if self.decoder_arch != "attn_lstm":
-                raise NotImplementedError(
-                    "region_parallel shards the Bahdanau attention of the "
-                    "attn_lstm family; the transformer family shards over "
-                    "heads/batch instead"
-                )
             if mesh is None or "region" not in mesh.axis_names:
                 raise ValueError(
                     "region_parallel: true requires Img2SeqModel(..., mesh=) "
                     "with a 'region' axis, e.g. "
                     "Mesh(devices.reshape(d, r), ('data', 'region'))"
                 )
-            from ..parallel.region_attention import make_region_attn_fn
+            batch_axis = "data" if "data" in mesh.axis_names else None
+            if self.decoder_arch == "transformer":
+                # transformer family: the training memory hot spot is the
+                # (B, H, T, R) cross-attention score tensor — shard the
+                # region axis of every layer's cross-attention
+                # (parallel/region_attention.py:make_region_cross_mha).
+                # Decode stays on the replicated path: per-step cross
+                # scores are (B, H, 1, R) — tiny — and the per-chip cross-KV
+                # cache already divides by the data axis under DP.
+                if float(getattr(config, "alpha_c", 0.0) or 0.0) > 0.0:
+                    raise ValueError(
+                        "alpha_c needs full-R attention weights, which the "
+                        "region-sharded cross-attention never materializes; "
+                        "disable region_parallel for alpha_c fine-tunes"
+                    )
+                from ..parallel.region_attention import make_region_cross_mha
 
-            self._attn_fn = make_region_attn_fn(
-                mesh,
-                batch_axis="data" if "data" in mesh.axis_names else None,
-            )
+                self._cross_mha = make_region_cross_mha(mesh, batch_axis=batch_axis)
+            else:
+                from ..parallel.region_attention import make_region_attn_fn
+
+                self._attn_fn = make_region_attn_fn(mesh, batch_axis=batch_axis)
             # the fused single-device attention kernels assume local full-R
             self.use_pallas = False
             self.use_megakernel = False
@@ -242,6 +253,7 @@ class Img2SeqModel:
                 dec_params, feat, formula, num_heads=self.num_heads,
                 dropout_rng=dropout_rng, keep_prob=keep_prob,
                 return_attention=return_attention,
+                cross_mha=self._cross_mha,
             )
         return teacher_forcing_logits(
             dec_params, feat, formula, dropout_rng=dropout_rng,

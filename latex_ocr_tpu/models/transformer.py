@@ -236,12 +236,27 @@ def transformer_teacher_forcing_logits(
     dropout_rng=None,
     keep_prob: float = 1.0,
     return_attention: bool = False,
+    cross_mha=None,
 ):
     """Full-parallel teacher-forced forward: one causal pass, no scan.
 
     Returns logits (B, T, V) fp32; with ``return_attention`` also the last
     layer's mean-over-heads cross-attention maps (B, T, R) fp32.
+
+    ``cross_mha`` overrides the cross-attention sublayer (signature
+    ``(layer_params, q_in, mem, n_heads) -> (B, T, D)``) — the hook through
+    which ``region_parallel`` routes the region-sharded shard_map
+    cross-attention (parallel/region_attention.py:make_region_cross_mha).
+    That path never materializes full-R attention weights, so it cannot
+    serve ``return_attention`` (alpha_c / visualization need the unsharded
+    model).
     """
+    if cross_mha is not None and return_attention:
+        raise NotImplementedError(
+            "region-sharded cross-attention does not materialize full-R "
+            "weights; run alpha_c / attention introspection without "
+            "region_parallel"
+        )
     mem = encode_memory(dec_params, img_feat)  # (B, R, D)
     dt = mem.dtype
     B, T = formula.shape
@@ -268,10 +283,13 @@ def transformer_teacher_forcing_logits(
     for layer in dec_params["layers"]:
         sa, _ = _mha(layer["self_attn"], _layer_norm(layer["ln1"], x), _layer_norm(layer["ln1"], x), H, causal)
         x = x + drop(sa)
-        ca, cross_w = _mha(
-            layer["cross_attn"], _layer_norm(layer["ln2"], x), mem, H,
-            return_weights=return_attention,
-        )
+        if cross_mha is not None:
+            ca = cross_mha(layer["cross_attn"], _layer_norm(layer["ln2"], x), mem, H)
+        else:
+            ca, cross_w = _mha(
+                layer["cross_attn"], _layer_norm(layer["ln2"], x), mem, H,
+                return_weights=return_attention,
+            )
         x = x + drop(ca)
         x = x + drop(_mlp(layer["mlp"], _layer_norm(layer["ln3"], x)))
 

@@ -26,6 +26,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -76,6 +77,84 @@ def attention_context_region_sharded(
         in_specs=(P(None, axis_name), P(None, axis_name), P(), P(), P()),
         out_specs=(P(), P(None, axis_name)),
     )(att_img, regions, h, h_w, beta)
+
+
+def make_region_cross_mha(
+    mesh: Mesh,
+    batch_axis: str | None = None,
+    axis_name: str = "region",
+):
+    """Region-sharded multi-head cross-attention for the transformer family
+    — the ``config.region_parallel`` integration for
+    ``decoder_arch: "transformer"`` (teacher forcing).
+
+    The transformer's training memory hot spot at large buckets is the
+    (B, H, T, R) cross-attention score tensor (T up to 151, R up to ~7k for
+    the widest buckets): sharding the memory/region axis divides it — and
+    the (B, R, D) projected memory plus its K/V — by the region-mesh size.
+    Recipe matches the LSTM path's Bahdanau shard (``make_region_attn_fn``):
+    each chip holds an R/n shard of the memory, computes local K/V and
+    scores, and the softmax reassembles with an online max (all_gather, so
+    the whole fn stays differentiable) + psum denominator + psum of the
+    locally-weighted values. No chip materializes a full-R tensor.
+
+    Returns ``cross_mha(p, q_in, mem, n_heads) -> (B, T, D)`` — a drop-in
+    for the cross-attention sublayer of
+    ``models.transformer.transformer_teacher_forcing_logits`` (which
+    handles the residual add around it). Attention weights are not
+    materialized on this path (``alpha_c`` and the visualizer need the
+    unsharded model).
+    """
+    b = batch_axis
+    n_region = int(mesh.shape[axis_name])
+
+    def cross_mha(p: Dict, q_in: jnp.ndarray, mem: jnp.ndarray, n_heads: int):
+        from ..models.transformer import _merge_heads, _split_heads
+
+        R = mem.shape[1]
+        pad = (-R) % n_region
+        if pad:
+            mem = jnp.pad(mem, ((0, 0), (0, pad), (0, 0)))
+        Rs = (R + pad) // n_region
+
+        def local(q_in_s, mem_s, wq, wk, wv, wo, bo):
+            dt = q_in_s.dtype
+            q = _split_heads(q_in_s @ wq.astype(dt), n_heads)  # (B, H, T, Dh)
+            k = _split_heads(mem_s @ wk.astype(dt), n_heads)  # (B, H, Rs, Dh)
+            v = _split_heads(mem_s @ wv.astype(dt), n_heads)
+            scale = 1.0 / float(np.sqrt(q.shape[-1]))
+            scores = (
+                jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+            )  # (B, H, T, Rs)
+            if pad:
+                pos = jax.lax.axis_index(axis_name) * Rs + jnp.arange(Rs)
+                scores = jnp.where(pos < R, scores, jnp.float32(-1e30))
+            # online softmax across region shards; all_gather+max instead of
+            # pmax keeps the fn differentiable (the shift cancels in the
+            # softmax — stop_gradient makes that explicit)
+            m = jax.lax.stop_gradient(
+                jnp.max(
+                    jax.lax.all_gather(jnp.max(scores, axis=-1), axis_name),
+                    axis=0,
+                )
+            )  # (B, H, T)
+            ex = jnp.exp(scores - m[..., None])
+            denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis_name)
+            w = ex / denom[..., None]  # (B, H, T, Rs) fp32
+            ctx = jax.lax.psum(
+                jnp.einsum("bhqk,bhkd->bhqd", w, v.astype(jnp.float32)),
+                axis_name,
+            ).astype(dt)
+            return _merge_heads(ctx) @ wo.astype(dt) + bo.astype(dt)
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(b), P(b, axis_name), P(), P(), P(), P(), P()),
+            out_specs=P(b),
+        )(q_in, mem, p["wq"], p["wk"], p["wv"], p["wo"], p["bo"])
+
+    return cross_mha
 
 
 def make_region_attn_fn(

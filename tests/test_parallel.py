@@ -311,6 +311,71 @@ def test_region_parallel_config_errors():
     with pytest.raises(ValueError, match="region"):
         Img2SeqModel(Config(dict(base)), _V())  # no mesh
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "region"))
-    with pytest.raises(NotImplementedError, match="transformer"):
-        Img2SeqModel(Config(dict(base, decoder_arch="transformer")),
-                     _V(), mesh=mesh)
+    # the transformer's region-sharded cross-attention never materializes
+    # full-R weights, so the alpha_c regularizer cannot compose with it
+    with pytest.raises(ValueError, match="alpha_c"):
+        Img2SeqModel(Config(dict(base, decoder_arch="transformer",
+                                 alpha_c=0.01)), _V(), mesh=mesh)
+
+
+def test_region_parallel_transformer_model_parity():
+    """`region_parallel: true` for the transformer family: every layer's
+    cross-attention shards the region axis (make_region_cross_mha) on a
+    2-D ("data", "region") mesh; train_step loss/updated params and greedy
+    decode match the unsharded model in fp32, with R=15 NOT divisible by
+    the 4-way region axis (pad+mask path)."""
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.parallel.mesh import replicate, shard_batch
+    from latex_ocr_tpu.utils import Config
+    from jax.sharding import Mesh
+
+    base = {
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "attn_cell_config": {"cell_type": "lstm", "num_units": 16, "dim_e": 8,
+                              "dim_o": 16, "dim_embeddings": 8},
+        "decoder_arch": "transformer",
+        "transformer_config": {"num_layers": 2, "num_heads": 2,
+                               "dim_model": 16, "dim_ff": 32},
+        "decoding": "greedy", "beam_size": 1, "div_gamma": 1, "div_prob": 0,
+        "max_length_formula": 10,
+    }
+
+    class _V:
+        tok_to_id = {f"t{i}": i for i in range(8)}
+        id_to_tok = {i: f"t{i}" for i in range(8)}
+        n_tok, id_unk, id_pad, id_end = 8, 5, 6, 7
+
+    mesh2d = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 4), ("data", "region"))
+    plain = Img2SeqModel(Config(dict(base)), _V())
+    sharded = Img2SeqModel(Config(dict(base, region_parallel=True)), _V(),
+                           mesh=mesh2d)
+
+    rng = jax.random.PRNGKey(0)
+    params = plain.init_params(rng)
+    opt_p = plain.init_optimizer(params, "adam", clip=-1)
+    host_params = jax.tree.map(np.asarray, params)
+    params_s = replicate(host_params, mesh2d)
+    opt_s = sharded.init_optimizer(params_s, "adam", clip=-1)
+    opt_s = replicate(jax.tree.map(np.asarray, opt_s), mesh2d)
+
+    rb = np.random.default_rng(0)
+    # image 40x40 -> feature grid (3, 5): R=15, not divisible by 4
+    batch = {
+        "image": rb.integers(0, 256, size=(4, 40, 40, 1)).astype(np.uint8),
+        "formula": rb.integers(0, 5, size=(4, 6)).astype(np.int32),
+        "length": np.asarray([6, 5, 4, 6], np.int32),
+    }
+    batch_s = shard_batch(dict(batch), mesh2d, axis_name="data")
+
+    lr = jnp.float32(1e-3)
+    p1, o1, m1 = plain.train_step(params, opt_p, batch, lr, jax.random.PRNGKey(1), 1.0)
+    p2, o2, m2 = sharded.train_step(params_s, opt_s, batch_s, lr, jax.random.PRNGKey(1), 1.0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+
+    # greedy decode: stays on the replicated path under region_parallel
+    # (per-step cross scores are (B, H, 1, R)); must match exactly
+    ids1 = np.asarray(plain.decode_step(p1, batch["image"]))
+    ids2 = np.asarray(sharded.decode_step(p2, batch_s["image"]))
+    np.testing.assert_array_equal(ids1, ids2)
