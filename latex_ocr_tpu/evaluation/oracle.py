@@ -58,11 +58,12 @@ def _same_pool_pad(size: int, window: int, stride: int) -> Tuple[int, int]:
 
 
 class TorchOracle:
-    """Independent torch implementation of the flagship attn-LSTM model.
+    """Independent torch implementation of the attn-RNN model families.
 
     ``params`` is the Img2SeqModel parameter pytree
-    ``{"encoder": ..., "decoder": ...}`` (vanilla encoder variant, lstm
-    cell); ``id_end`` the END token id.
+    ``{"encoder": ..., "decoder": ...}`` (vanilla encoder variant; lstm or
+    gru cell — torch.nn.LSTMCell/GRUCell drive the recurrence); ``id_end``
+    the END token id.
     """
 
     def __init__(self, params, id_end: int, positional: bool = True):
@@ -72,30 +73,45 @@ class TorchOracle:
         p = _to_numpy_tree(params)
         self.enc = p["encoder"]
         self.dec = p["decoder"]
-        if "lstm" not in self.dec:
-            raise NotImplementedError("oracle covers the flagship lstm cell")
         self.id_end = int(id_end)
         self.positional = positional
 
-        # ---- torch LSTMCell with the inverse TF1->torch gate mapping ----
-        w = self.dec["lstm"]["w"]  # (in+U, 4U) fused, gate order (i, j, f, o)
-        b = self.dec["lstm"]["b"]  # (4U,)
-        units = w.shape[1] // 4
-        in_dim = w.shape[0] - units
+        if "gru" in self.dec:
+            # ---- torch GRUCell: our layout IS torch's (models/decoder.py) —
+            # direct copy, no gate remap
+            g = self.dec["gru"]
+            in_dim, units3 = g["w_ih"].shape
+            units = units3 // 3
+            cell = torch.nn.GRUCell(in_dim, units)
+            with torch.no_grad():
+                cell.weight_ih.copy_(torch.from_numpy(g["w_ih"].T.copy()))
+                cell.weight_hh.copy_(torch.from_numpy(g["w_hh"].T.copy()))
+                cell.bias_ih.copy_(torch.from_numpy(g["b_ih"].copy()))
+                cell.bias_hh.copy_(torch.from_numpy(g["b_hh"].copy()))
+            self.is_gru = True
+        elif "lstm" in self.dec:
+            # ---- torch LSTMCell with the inverse TF1->torch gate mapping ----
+            w = self.dec["lstm"]["w"]  # (in+U, 4U) fused, gate order (i, j, f, o)
+            b = self.dec["lstm"]["b"]  # (4U,)
+            units = w.shape[1] // 4
+            in_dim = w.shape[0] - units
 
-        def tf_to_torch(mat):  # columns (i, j, f, o) -> rows (i, f, g=j, o)
-            i, j, f, o = np.split(mat, 4, axis=-1)
-            return np.concatenate([i, f, j, o], axis=-1)
+            def tf_to_torch(mat):  # columns (i, j, f, o) -> rows (i, f, g=j, o)
+                i, j, f, o = np.split(mat, 4, axis=-1)
+                return np.concatenate([i, f, j, o], axis=-1)
 
-        w_t = tf_to_torch(w)  # (in+U, 4U) torch gate order
-        b_t = tf_to_torch(b[None, :])[0].copy()
-        b_t[units : 2 * units] += 1.0  # fold in TF1 forget_bias=1.0
-        cell = torch.nn.LSTMCell(in_dim, units)
-        with torch.no_grad():
-            cell.weight_ih.copy_(torch.from_numpy(w_t[:in_dim].T.copy()))
-            cell.weight_hh.copy_(torch.from_numpy(w_t[in_dim:].T.copy()))
-            cell.bias_ih.copy_(torch.from_numpy(b_t))
-            cell.bias_hh.zero_()
+            w_t = tf_to_torch(w)  # (in+U, 4U) torch gate order
+            b_t = tf_to_torch(b[None, :])[0].copy()
+            b_t[units : 2 * units] += 1.0  # fold in TF1 forget_bias=1.0
+            cell = torch.nn.LSTMCell(in_dim, units)
+            with torch.no_grad():
+                cell.weight_ih.copy_(torch.from_numpy(w_t[:in_dim].T.copy()))
+                cell.weight_hh.copy_(torch.from_numpy(w_t[in_dim:].T.copy()))
+                cell.bias_ih.copy_(torch.from_numpy(b_t))
+                cell.bias_hh.zero_()
+            self.is_gru = False
+        else:
+            raise NotImplementedError("oracle covers the attn-RNN families (lstm/gru)")
         self.cell = cell.float()
         self.units = units
 
@@ -164,7 +180,11 @@ class TorchOracle:
         torch = self.torch
         c, h, o = state
         x = torch.cat([emb, o], dim=-1)
-        h_new, c_new = self.cell(x, (h, c))  # torch returns (h, c)
+        if self.is_gru:
+            h_new = self.cell(x, h)
+            c_new = c  # unused pass-through (models/decoder.py recurrent_step)
+        else:
+            h_new, c_new = self.cell(x, (h, c))  # torch returns (h, c)
 
         att = self.dec["att"]
         att_h = h_new @ torch.from_numpy(att["h_w"].copy())  # (N, dim_e)

@@ -56,9 +56,11 @@ def main(results, data_dir, n_images, batch_size, beam, alpha):
     data_dir = data_dir.rstrip("/") + "/"
     config = Config.from_run_dir(results)
     if getattr(config, "encoder_cnn", "vanilla") != "vanilla" or (
-        config.attn_cell_config.get("cell_type", "lstm") != "lstm"
+        getattr(config, "decoder_arch", "attn_lstm") != "attn_lstm"
     ):
-        raise click.ClickException("oracle covers the flagship vanilla+lstm model")
+        raise click.ClickException(
+            "oracle covers the vanilla-encoder attn-RNN families (lstm/gru)"
+        )
 
     vocab = Vocab(config)
     model = Img2SeqModel(

@@ -96,6 +96,45 @@ def test_beam_token_identical(setup, beam_size, id_end):
     np.testing.assert_allclose(np.asarray(out.log_probs), lp_t, rtol=1e-4, atol=1e-4)
 
 
+def test_gru_family_token_identical():
+    """Same full-model parity for the attn-GRU family (BASELINE config #1):
+    torch.nn.GRUCell drives the oracle's recurrence with directly-copied
+    weights."""
+    cfg = Config(
+        {
+            "encoder_cnn": "vanilla",
+            "positional_embeddings": True,
+            "attn_cell_config": {
+                "cell_type": "gru",
+                "num_units": 64,
+                "dim_e": 48,
+                "dim_o": 64,
+                "dim_embeddings": 16,
+            },
+        }
+    )
+    rng = jax.random.PRNGKey(11)
+    enc_rng, dec_rng = jax.random.split(rng)
+    params = {
+        "encoder": init_encoder_params(enc_rng, cfg),
+        "decoder": init_decoder_params(dec_rng, cfg, N_TOK),
+    }
+    images = np.asarray(
+        jax.random.randint(jax.random.PRNGKey(2), (2, 32, 104, 1), 0, 256),
+        dtype=np.uint8,
+    )
+    feat_jax = encode(params["encoder"], jnp.asarray(images), cfg, jnp.float32)
+    oracle = TorchOracle(params, END_NEVER)
+    feat_t = oracle.encode(images)
+
+    ids_jax = np.asarray(decode_greedy(params["decoder"], feat_jax, MAX_LEN, END_NEVER))
+    np.testing.assert_array_equal(ids_jax, oracle.decode_greedy(feat_t, MAX_LEN))
+    out = decode_beam(params["decoder"], feat_jax, MAX_LEN, END_NEVER, 2)
+    ids_t, lp_t = oracle.decode_beam(feat_t, MAX_LEN, 2)
+    np.testing.assert_array_equal(np.asarray(out.ids), ids_t)
+    np.testing.assert_allclose(np.asarray(out.log_probs), lp_t, rtol=1e-4, atol=1e-4)
+
+
 def test_beam_gnmt_rerank_identical(setup):
     params, feat_jax, feat_t, oracles = setup
     out = decode_beam(
