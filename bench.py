@@ -26,7 +26,7 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 def main(
     n_real_tokens: int = 500,
-    decoder_arch: str = "attn_lstm",
+    decoder_arch: str = "transformer",
     transformer_config: dict = None,
     cell_type: str = "lstm",
 ) -> None:
@@ -37,10 +37,10 @@ def main(
     pads the (dim_o, V) logits matmul to 512 lanes, so vocab lane alignment
     is throughput-neutral on this model (A/B measured 2026-08-17).
 
-    ``decoder_arch="transformer"`` (CLI: ``--transformer``) swaps in the
-    MXU-heavy transformer decoder family (models/transformer.py, defaults
-    4L/8H/256d) for an A/B against the flagship LSTM at the same bucket
-    shape; the driver's headline metric stays the no-arg LSTM run."""
+    The no-arg run measures the FLAGSHIP: the transformer 2L/8H/256d
+    (declared round 4 — faster AND more accurate than the LSTM,
+    RESULTS.md "r4: tuned transformer"). ``--lstm`` / ``--gru`` measure
+    the reference-parity attn-RNN family at the same bucket shape."""
     from latex_ocr_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -53,14 +53,16 @@ def main(
 
     B, H, W, T = 256, 50, 200, 64
 
-    model_cfg = dict(ge.FLAGSHIP_MODEL)
+    # FLAGSHIP_MODEL is the transformer (r4 flagship declaration);
+    # --lstm / --gru select the reference-parity attn-RNN family
+    model_cfg = dict(
+        ge.FLAGSHIP_MODEL if decoder_arch == "transformer" else ge.REFERENCE_MODEL
+    )
     if cell_type != "lstm":  # --gru: attention-GRU recurrence A/B
         model_cfg["attn_cell_config"] = dict(
             model_cfg["attn_cell_config"], cell_type=cell_type)
-    if decoder_arch == "transformer":
-        model_cfg["decoder_arch"] = "transformer"
-        if transformer_config:
-            model_cfg["transformer_config"] = transformer_config
+    if decoder_arch == "transformer" and transformer_config:
+        model_cfg["transformer_config"] = transformer_config
     config = Config(model_cfg)
     vocab = ge._make_vocab(n_real_tokens)
     model = Img2SeqModel(config, vocab, compute_dtype=jnp.bfloat16)
@@ -241,8 +243,11 @@ if __name__ == "__main__":
         i = argv.index("--transformer-config")
         tf_cfg = json.loads(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
-    arch = "transformer" if "--transformer" in argv else "attn_lstm"
+    # flagship default = transformer (r4); --lstm / --gru select the
+    # reference-parity attn-RNN family ("--transformer" kept as a no-op
+    # alias for round-over-round script compatibility)
+    arch = "attn_lstm" if ("--lstm" in argv or "--gru" in argv) else "transformer"
     cell = "gru" if "--gru" in argv else "lstm"
-    args = [a for a in argv if a not in ("--transformer", "--gru")]
+    args = [a for a in argv if a not in ("--transformer", "--lstm", "--gru")]
     main(int(args[0]) if args else 500, decoder_arch=arch,
          transformer_config=tf_cfg, cell_type=cell)

@@ -63,25 +63,22 @@ def make_model(decoding: str, **over):
 
 
 def _gru(**kw):
-    cell = dict(ge.FLAGSHIP_MODEL["attn_cell_config"], cell_type="gru")
-    return dict(attn_cell_config=cell, **kw)
+    cell = dict(ge.REFERENCE_MODEL["attn_cell_config"], cell_type="gru")
+    return dict(decoder_arch="attn_lstm", attn_cell_config=cell, **kw)
 
 
+# FLAGSHIP_MODEL is the transformer 2L (r4 declaration): the attn-RNN
+# variants pin decoder_arch back to the reference family explicitly
 VARIANTS = {
-    "lstm_mega": dict(),
-    "lstm_xla": dict(use_decoder_megakernel=False),
+    "lstm_mega": dict(decoder_arch="attn_lstm"),
+    "lstm_xla": dict(decoder_arch="attn_lstm", use_decoder_megakernel=False),
     "gru_mega": _gru(),
     "gru_xla": _gru(use_decoder_megakernel=False),
-    "transformer": dict(
-        decoder_arch="transformer",
-        transformer_config={"num_layers": 2, "num_heads": 8,
+    "transformer": dict(),  # the flagship config itself
+    "transformer_xla": dict(use_decoder_megakernel=False),
+    "transformer4": dict(
+        transformer_config={"num_layers": 4, "num_heads": 8,
                             "dim_model": 256, "dim_ff": 1024}),
-    "transformer_xla": dict(
-        decoder_arch="transformer",
-        use_decoder_megakernel=False,
-        transformer_config={"num_layers": 2, "num_heads": 8,
-                            "dim_model": 256, "dim_ff": 1024}),
-    "transformer4": dict(decoder_arch="transformer"),
 }
 
 

@@ -56,7 +56,7 @@ def main() -> None:
 
     mesh = make_mesh()
 
-    config = Config(dict(ge.FLAGSHIP_MODEL, max_length_formula=7))
+    config = Config(dict(ge.REFERENCE_MODEL, max_length_formula=7))
     config.attn_cell_config = {
         "cell_type": "lstm", "num_units": 16, "dim_e": 8, "dim_o": 16,
         "dim_embeddings": 8,

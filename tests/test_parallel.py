@@ -140,7 +140,7 @@ def test_dp_grads_match_single_device(mesh):
     from latex_ocr_tpu.models.img2seq import Img2SeqModel
     from latex_ocr_tpu.utils import Config
 
-    config = Config(dict(ge.FLAGSHIP_MODEL, max_length_formula=7))
+    config = Config(dict(ge.REFERENCE_MODEL, max_length_formula=7))
     config.attn_cell_config = {
         "cell_type": "lstm", "num_units": 16, "dim_e": 8, "dim_o": 16,
         "dim_embeddings": 8,
