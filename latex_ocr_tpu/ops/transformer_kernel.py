@@ -275,6 +275,15 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
     # K/V blocks are shared across beam slots and do NOT scale with K
     per_row = 2 * L * (K * Tc + 2 * Rp) * D * itemsize
     bb = 64
+    # wide beams cap the block at 8 rows: Mosaic's register allocator
+    # keeps the K per-slot row blocks live through the masked-select
+    # reorder chains, and its spill slots grow ~K x bb ON TOP of the
+    # data buffers budgeted here. Measured on v5e (2L/256d, T=151):
+    # K=2/bb=16 and K=5/bb=8 compile and run; K=5/bb=16 adds 61.4 MB of
+    # "register allocator spill slots" (147 MB total > the 128 MB VMEM)
+    # and fails at compile — found by the r4 beam-5 quality sweep.
+    if K >= 4:
+        bb = 8
     while bb > 8 and fixed + bb * per_row > budget:
         bb //= 2
     if fixed + bb * per_row > budget:
