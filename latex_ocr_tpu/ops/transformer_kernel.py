@@ -315,6 +315,17 @@ def transformer_decode_greedy_megakernel(
 
     mem = encode_memory(dec_params, img_feat)  # (B, R, D)
     dt = mem.dtype
+    if dt.itemsize < 4 and not interpret:
+        # Packed dtypes (bf16) cannot take the kernel's dynamic-row KV-cache
+        # store: Mosaic requires the sublane offset of a (Bb, 1, D) store to
+        # be tile-aligned for (16, 128)-tiled types, and the decode step t
+        # is runtime-dynamic ("cannot statically prove that index in
+        # dimension 1 is a multiple of 8"). Tile-rounding T (advisor r3
+        # finding) fixes the merges but not this store, so non-f32 decoder
+        # dtypes take the XLA loop.
+        return transformer_decode_greedy(
+            dec_params, img_feat, max_length, id_end, num_heads=num_heads
+        )
     B, R, _ = mem.shape
     layers = dec_params["layers"]
     L = len(layers)
@@ -754,6 +765,12 @@ def transformer_decode_beam_megakernel(
 
     mem = encode_memory(dec_params, img_feat)  # (B, R, D)
     dt = mem.dtype
+    if dt.itemsize < 4 and not interpret:
+        # same packed-dtype limitation as the greedy kernel: the per-step
+        # KV-cache row store has a runtime-dynamic sublane offset, which
+        # Mosaic rejects for (16, 128)-tiled types — bf16 decoders take
+        # the XLA loop.
+        return _fallback()
     B, R, _ = mem.shape
     layers = dec_params["layers"]
     L = len(layers)

@@ -18,10 +18,14 @@ def setup_jax(
 ) -> None:
     import jax
 
-    # explicit arg > LATEX_OCR_PLATFORM env > backend default. The env form
-    # lets any CLI run on CPU while the (shared) TPU is busy, and lets tests
-    # drive the real CLIs in subprocesses without touching a device.
-    platform = platform or os.environ.get("LATEX_OCR_PLATFORM")
+    # explicit arg > LATEX_OCR_PLATFORM env > JAX_PLATFORMS env > backend
+    # default. The env forms let any CLI run on CPU while the (shared) TPU
+    # is busy, and let tests drive the real CLIs in subprocesses without
+    # touching a device. JAX_PLATFORMS must be re-applied here because the
+    # axon plugin registers itself regardless of it — without the explicit
+    # config update the standard JAX env var is silently ignored.
+    platform = (platform or os.environ.get("LATEX_OCR_PLATFORM")
+                or os.environ.get("JAX_PLATFORMS"))
     if platform:
         jax.config.update("jax_platforms", platform)
     if debug_nans or os.environ.get("LATEX_OCR_DEBUG_NANS"):

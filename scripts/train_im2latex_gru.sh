@@ -12,12 +12,14 @@
 set -e
 cd "$(dirname "$0")/.."
 
-# --clip 1.0 on the lr>=5e-4 phases: the GRU family recurrently diverges
-# under the LSTM-tuned clip 5.0 at those rates (19/10 loss spikes in the
-# r3 Uni/Syn runs, incl. a val-EM-0.00 collapse); measured diagnosis and
-# the clip A/B are in design.md §16.8 / RESULTS.md "GRU stability A/B".
+# Clip stays at the shared 5.0: the r4 same-seed A/B (design.md §16.8,
+# RESULTS.md "GRU stability A/B (r4)") REFUTED the tight-clip stabilizer —
+# clip 1.0 still exploded 21x on the Uni phase and recovered ~5x slower
+# (test EM 8.6 vs 61.0). The GRU family's lr>=5e-4 spikes self-recover and
+# keep-best absorbs them; for spike-free hot phases use lr<=2e-4 with a
+# longer epoch budget instead of a tighter clip.
 GRU_ARGS=(--cell-type gru)
-GRU_HOT=(--clip 1.0)
+GRU_HOT=(--clip 5.0)
 
 for d in data/im2latexEZ data/im2latexUni data/im2latexSyn \
          data/im2latexSynOOV data/im2latexSynLong; do
