@@ -42,6 +42,9 @@ class Trainer:
         self.logger = get_logger(os.path.join(dir_output, "model.log"))
         self.mesh = mesh
         self.sharding = None
+        # lazily-built XLA-loop sibling used if the decode megakernel
+        # fails to compile (see _decode_fallback_model)
+        self._xla_decode_model = None
         if mesh is not None:
             from ..parallel.mesh import batch_sharding
 
@@ -275,13 +278,50 @@ class Trainer:
         return best_score
 
     # ------------------------------------------------------------------- eval
+    def _decode_fallback_model(self, err: Exception):
+        """Kernel-compile resource failures must not kill a multi-hour run.
+
+        A decode megakernel that fits the VMEM *model* (_auto_block_b) can
+        still lose to the real compiler — e.g. the r4 beam-5 sweep died on
+        61 MB of Mosaic register-allocator spill slots the budget cannot
+        see. When the first eval decode of a shape fails with a
+        compile-resource error and the megakernel was on, rebuild the same
+        model with ``use_decoder_megakernel: false`` (fresh _jit_key, so
+        fresh programs) and continue on the XLA loop; anything else
+        re-raises unchanged.
+        """
+        msg = str(err)
+        resource = any(
+            s in msg for s in ("vmem", "Mosaic", "RESOURCE_EXHAUSTED", "out of memory")
+        )
+        if not (resource and self.model.use_megakernel):
+            raise err
+        if self._xla_decode_model is None:
+            from ..models.img2seq import Img2SeqModel
+            from ..utils import Config as _Config
+
+            self.logger.warning(
+                "decode megakernel failed to compile (%s...); falling back "
+                "to the XLA decode loop for evaluation",
+                msg.splitlines()[0][:120],
+            )
+            self._xla_decode_model = Img2SeqModel(
+                _Config({**self.model.config.to_dict(),
+                         "use_decoder_megakernel": False}),
+                self.model.vocab,
+                compute_dtype=self.model.compute_dtype,
+                decoder_dtype=self.model.decoder_dtype,
+                mesh=self.model.mesh,
+            )
+        return self._xla_decode_model
+
     def evaluate(self, params, test_set, dir_answers: str) -> Dict[str, float]:
         """Decode a labelled set, write ref/hyp files, compute metrics.
 
         Returns text metrics plus ``perplexity`` (positive, reported) and
         ``perplexity_score`` (sign-flipped, for model selection).
         """
-        model = self.model
+        model = self._xla_decode_model or self.model
         config = self.config
         batch_size = getattr(config, "batch_size", 20)
         pipeline = self._make_pipeline(test_set, batch_size)
@@ -294,7 +334,11 @@ class Trainer:
 
         for batch in pipeline:
             n_real = int(batch.pop("n_real"))
-            metrics, ids = model.eval_decode_step(params, batch)  # (B, n_hyps, T)
+            try:
+                metrics, ids = model.eval_decode_step(params, batch)  # (B, n_hyps, T)
+            except Exception as e:  # noqa: BLE001 — compile-time only, re-raised below
+                model = self._decode_fallback_model(e)
+                metrics, ids = model.eval_decode_step(params, batch)
             ce_total += float(metrics["ce_words"])
             n_total += int(metrics["n_words"])
             ids = np.asarray(ids)

@@ -45,22 +45,29 @@ def main(results, data_dir, n_images, batch_size, beam, alpha):
 
     from latex_ocr_tpu.data.generator import DataGenerator, default_img_prepro
     from latex_ocr_tpu.data.vocab import Vocab
-    from latex_ocr_tpu.evaluation.oracle import TorchOracle
+    from latex_ocr_tpu.evaluation.oracle import make_oracle
     from latex_ocr_tpu.models.decoding import decode_beam, decode_greedy
     from latex_ocr_tpu.models.encoder import encode
     from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.models.transformer import (
+        transformer_cfg,
+        transformer_decode_beam,
+        transformer_decode_greedy,
+    )
     from latex_ocr_tpu.training.checkpoint import CheckpointManager
     from latex_ocr_tpu.utils import Config
 
     results = results.rstrip("/") + "/"
     data_dir = data_dir.rstrip("/") + "/"
     config = Config.from_run_dir(results)
-    if getattr(config, "encoder_cnn", "vanilla") != "vanilla" or (
-        getattr(config, "decoder_arch", "attn_lstm") != "attn_lstm"
+    arch = getattr(config, "decoder_arch", "attn_lstm")
+    if getattr(config, "encoder_cnn", "vanilla") != "vanilla" or arch not in (
+        "attn_lstm", "transformer",
     ):
         raise click.ClickException(
-            "oracle covers the vanilla-encoder attn-RNN families (lstm/gru)"
+            "oracle covers the vanilla-encoder attn-RNN and transformer families"
         )
+    num_heads = transformer_cfg(config)["num_heads"] if arch == "transformer" else 8
 
     vocab = Vocab(config)
     model = Img2SeqModel(
@@ -99,15 +106,26 @@ def main(results, data_dir, n_images, batch_size, beam, alpha):
         if batch.ndim == 3:
             batch = batch[..., None]
         feat_jax = encode(params["encoder"], jnp.asarray(batch), config, jnp.float32)
-        ids_g = np.asarray(
-            decode_greedy(params["decoder"], feat_jax, max_len, id_end)
-        )
-        out_b = decode_beam(
-            params["decoder"], feat_jax, max_len, id_end, beam,
-            length_norm_alpha=alpha,
-        )
+        if arch == "transformer":
+            ids_g = np.asarray(
+                transformer_decode_greedy(
+                    params["decoder"], feat_jax, max_len, id_end, num_heads=num_heads
+                )
+            )
+            out_b = transformer_decode_beam(
+                params["decoder"], feat_jax, max_len, id_end, beam,
+                length_norm_alpha=alpha, num_heads=num_heads,
+            )
+        else:
+            ids_g = np.asarray(
+                decode_greedy(params["decoder"], feat_jax, max_len, id_end)
+            )
+            out_b = decode_beam(
+                params["decoder"], feat_jax, max_len, id_end, beam,
+                length_norm_alpha=alpha,
+            )
 
-        oracle = TorchOracle(params, id_end)
+        oracle = make_oracle(params, id_end, num_heads=num_heads)
         feat_t = oracle.encode(batch)
         ids_g_t = oracle.decode_greedy(feat_t, max_len)
         ids_b_t, lp_t = oracle.decode_beam(feat_t, max_len, beam, length_norm_alpha=alpha)

@@ -145,3 +145,96 @@ def test_beam_gnmt_rerank_identical(setup):
     )
     np.testing.assert_array_equal(np.asarray(out.ids), ids_t)
     np.testing.assert_allclose(np.asarray(out.log_probs), lp_t, rtol=1e-4, atol=1e-4)
+
+
+class TestTransformerFamily:
+    """Same full-model parity for the r4 flagship (transformer decoder):
+    the oracle re-runs a full causal pass over the emitted prefix each
+    step — the polar opposite of the JAX KV-cache incremental loop — so
+    token-identical output checks both routes end-to-end."""
+
+    N_HEADS = 4
+    TF_CFG = Config(
+        {
+            "encoder_cnn": "vanilla",
+            "positional_embeddings": True,
+            "decoder_arch": "transformer",
+            "transformer_config": {
+                "num_layers": 2,
+                "num_heads": 4,
+                "dim_model": 32,
+                "dim_ff": 64,
+            },
+            "attn_cell_config": {"cell_type": "lstm", "num_units": 16,
+                                  "dim_e": 8, "dim_o": 16, "dim_embeddings": 8},
+        }
+    )
+
+    @pytest.fixture(scope="class")
+    def tf_setup(self):
+        from latex_ocr_tpu.evaluation.oracle import make_oracle
+        from latex_ocr_tpu.models.transformer import (
+            init_transformer_decoder_params,
+        )
+
+        rng = jax.random.PRNGKey(21)
+        enc_rng, dec_rng = jax.random.split(rng)
+        params = {
+            "encoder": init_encoder_params(enc_rng, self.TF_CFG),
+            "decoder": init_transformer_decoder_params(dec_rng, self.TF_CFG, N_TOK),
+        }
+        images = np.asarray(
+            jax.random.randint(jax.random.PRNGKey(4), (3, 32, 104, 1), 0, 256),
+            dtype=np.uint8,
+        )
+        feat_jax = encode(params["encoder"], jnp.asarray(images), self.TF_CFG, jnp.float32)
+        oracle = make_oracle(params, END_NEVER, num_heads=self.N_HEADS)
+        feat_t = oracle.encode(images)
+        np.testing.assert_allclose(np.asarray(feat_jax), feat_t, rtol=1e-4, atol=1e-4)
+        return params, feat_jax, feat_t, oracle
+
+    def test_greedy_token_identical(self, tf_setup):
+        from latex_ocr_tpu.models.transformer import transformer_decode_greedy
+
+        params, feat_jax, feat_t, oracle = tf_setup
+        ids_jax = np.asarray(
+            transformer_decode_greedy(
+                params["decoder"], feat_jax, MAX_LEN, END_NEVER, num_heads=self.N_HEADS
+            )
+        )
+        assert not (ids_jax == END_NEVER).any()  # the full-length regime is real
+        np.testing.assert_array_equal(ids_jax, oracle.decode_greedy(feat_t, MAX_LEN))
+
+    def test_greedy_end_attractor(self, tf_setup):
+        """END on the random model's first-step argmax: finished-masking,
+        END-fill and early-exit parity."""
+        from latex_ocr_tpu.evaluation.oracle import make_oracle
+        from latex_ocr_tpu.models.transformer import transformer_decode_greedy
+
+        params, feat_jax, feat_t, _ = tf_setup
+        first = np.asarray(
+            transformer_decode_greedy(
+                params["decoder"], feat_jax, 1, END_NEVER, num_heads=self.N_HEADS
+            )
+        )[0, 0]
+        oracle = make_oracle(params, int(first), num_heads=self.N_HEADS)
+        ids_jax = np.asarray(
+            transformer_decode_greedy(
+                params["decoder"], feat_jax, MAX_LEN, int(first), num_heads=self.N_HEADS
+            )
+        )
+        assert (ids_jax[0] == int(first)).all()
+        np.testing.assert_array_equal(ids_jax, oracle.decode_greedy(feat_t, MAX_LEN))
+
+    @pytest.mark.parametrize("beam_size,alpha", [(2, 0.0), (4, 0.6)])
+    def test_beam_token_identical(self, tf_setup, beam_size, alpha):
+        from latex_ocr_tpu.models.transformer import transformer_decode_beam
+
+        params, feat_jax, feat_t, oracle = tf_setup
+        out = transformer_decode_beam(
+            params["decoder"], feat_jax, MAX_LEN, END_NEVER, beam_size,
+            length_norm_alpha=alpha, num_heads=self.N_HEADS,
+        )
+        ids_t, lp_t = oracle.decode_beam(feat_t, MAX_LEN, beam_size, length_norm_alpha=alpha)
+        np.testing.assert_array_equal(np.asarray(out.ids), ids_t)
+        np.testing.assert_allclose(np.asarray(out.log_probs), lp_t, rtol=1e-4, atol=1e-4)

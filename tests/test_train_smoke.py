@@ -177,3 +177,49 @@ def test_trainer_full_loop_and_checkpoint(small_dataset, tmp_path):
 
     ckpt_dir = str(tmp_path) + "/run/model_weights"
     assert os.path.exists(ckpt_dir) and len(os.listdir(ckpt_dir)) > 0
+
+
+# ------------------------------------------------- megakernel compile fallback
+def test_eval_decode_megakernel_compile_fallback(small_dataset, tmp_path):
+    """A decode-megakernel compile-resource failure during evaluation must
+    degrade to the XLA loop, not kill the run (the r4 beam-5 sweep died on
+    Mosaic register-spill VMEM overflow the budget model cannot predict).
+    Unit-level: _decode_fallback_model swaps in an XLA-loop sibling on
+    resource errors and re-raises everything else; integration-level: an
+    evaluate() whose first decode raises finishes on the sibling."""
+    import jax
+
+    cfg = Config(
+        {
+            **TINY_MODEL,
+            "use_decoder_megakernel": True,  # force ON (auto is off on CPU)
+            "batch_size": 8,
+            "dir_output": str(tmp_path) + "/",
+        }
+    )
+    vocab = _vocab(small_dataset)
+    model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.float32)
+    assert model.use_megakernel
+    trainer = Trainer(model, cfg, str(tmp_path) + "/")
+
+    # non-resource errors re-raise unchanged
+    with pytest.raises(ValueError, match="unrelated"):
+        trainer._decode_fallback_model(ValueError("unrelated"))
+
+    sibling = trainer._decode_fallback_model(
+        RuntimeError("Ran out of memory in memory space vmem. Used 147.24M")
+    )
+    assert not sibling.use_megakernel
+    assert hash(sibling) != hash(model)  # fresh programs, not stale reuse
+    assert trainer._decode_fallback_model(RuntimeError("vmem")) is sibling
+
+    # with the fallback installed, evaluate() runs fully on the XLA loop
+    params = model.init_params(jax.random.PRNGKey(0))
+    val = _dataset(small_dataset, "val", vocab)
+    scores = trainer.evaluate(params, val, str(tmp_path) + "/answers/")
+    assert np.isfinite(scores["perplexity"])
+
+    # a fallback whose megakernel is already off re-raises resource errors
+    trainer2 = Trainer(sibling, cfg, str(tmp_path) + "/")
+    with pytest.raises(RuntimeError, match="vmem"):
+        trainer2._decode_fallback_model(RuntimeError("vmem"))
