@@ -28,10 +28,23 @@ eval-full:
 	python evaluate_txt.py --results=results/full/
 	python evaluate_img.py --results=results/full/
 
+# same full pipeline on the r4 flagship (transformer 2L/8H/256d + label
+# smoothing; configs/model.json stays the reference-parity attn-LSTM)
+full-flagship: build-full train-full-flagship eval-full-flagship
+
+train-full-flagship:
+	python train.py --data=configs/data.json --vocab=configs/vocab.json \
+		--training=configs/training.json --model=configs/model_transformer.json \
+		--output=results/full_flagship/
+
+eval-full-flagship:
+	python evaluate_txt.py --results=results/full_flagship/
+	python evaluate_img.py --results=results/full_flagship/
+
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
 
-.PHONY: small build-small train-small eval-small full build-full train-full eval-full test bench
+.PHONY: small build-small train-small eval-small full build-full train-full eval-full full-flagship train-full-flagship eval-full-flagship test bench

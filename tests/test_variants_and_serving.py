@@ -237,6 +237,37 @@ def test_serving_multi_model_routing():
         server.close()
 
 
+def test_serving_flagship_transformer_model():
+    """The server fronts the r4 flagship family too: a transformer-decoder
+    Img2SeqModel behind the same dynamic-batching submit/decode path
+    (decode_step dispatches on decoder_arch internally)."""
+    from latex_ocr_tpu.serving import LatexOCRServer
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "decoder_arch": "transformer",
+        "transformer_config": {"num_layers": 1, "num_heads": 2,
+                               "dim_model": 16, "dim_ff": 32},
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(3))
+    server = LatexOCRServer(model, params, buckets=[[96, 96]], max_batch=4, max_wait_ms=5)
+    try:
+        rng = np.random.default_rng(4)
+        imgs = [rng.integers(0, 255, (40, 44, 1)).astype(np.uint8) for _ in range(4)]
+        results = [f.result(timeout=120) for f in [server.submit(i) for i in imgs]]
+        assert all(isinstance(r, str) for r in results)
+    finally:
+        server.close()
+
+
 def test_serving_metrics_endpoint():
     """metrics_text() is valid Prometheus exposition; the HTTP endpoint
     serves it on /metrics and 404s elsewhere."""
