@@ -95,6 +95,21 @@ class Trainer:
         rng = jax.random.PRNGKey(int(getattr(config, "seed", 42)))
         rng, init_rng = jax.random.split(rng)
 
+        # opt-in loss-spike lr cooldown (utils/lr_schedule.py SpikeGuard;
+        # design.md §16.8): `spike_guard: true` for defaults or a dict of
+        # overrides. Host-side on the sampled loss; the lr stays a dynamic
+        # scalar so the guard never recompiles. Cooldown state is NOT
+        # checkpointed (schema-stable): on resume the guard re-arms after
+        # the first converged sample, which is the safe direction.
+        guard_cfg = getattr(config, "spike_guard", None)
+        spike_guard = None
+        if guard_cfg:
+            from ..utils.lr_schedule import SpikeGuard
+
+            spike_guard = SpikeGuard(
+                **(guard_cfg if isinstance(guard_cfg, dict) else {})
+            )
+
         params = model.init_params(init_rng)
         if init_params is not None:
             params = jax.tree.map(lambda a, b: b.astype(a.dtype), params, init_params)
@@ -190,24 +205,36 @@ class Trainer:
                 # rng keyed on the global step: exact on resume
                 step_rng = jax.random.fold_in(rng, step)
                 n_real = int(batch.pop("n_real"))
+                lr_eff = lr_schedule.lr
+                if spike_guard is not None:
+                    lr_eff *= spike_guard.scale(step)
                 params, opt_state, metrics = model.train_step(
-                    params, opt_state, batch, lr_schedule.lr, step_rng, keep_prob
+                    params, opt_state, batch, lr_eff, step_rng, keep_prob
                 )
                 n_images += n_real
                 global_step += 1
                 lr_schedule.update(batch_no=step)
                 if (i + 1) % 10 == 0 or i == 0:
                     loss = float(metrics["loss"])
+                    if spike_guard is not None:
+                        was = spike_guard.n_triggers
+                        spike_guard.observe(step, loss)
+                        if spike_guard.n_triggers > was:
+                            self.logger.warning(
+                                "spike guard: loss %.3f at step %d — lr x%g "
+                                "for %d steps",
+                                loss, step, spike_guard._cooldown_mult,
+                                spike_guard._cooldown_steps,
+                            )
                     prog.update(
                         i + 1,
                         [("loss", loss), ("perplexity", float(np.exp(min(20.0, loss)))),
-                         ("lr", lr_schedule.lr)],
+                         ("lr", lr_eff)],
                     )
-                    metrics_writer.write(
-                        step,
-                        {"loss": loss, "lr": lr_schedule.lr, "keep_prob": keep_prob},
-                        epoch=epoch,
-                    )
+                    row = {"loss": loss, "lr": lr_eff, "keep_prob": keep_prob}
+                    if spike_guard is not None:
+                        row["spike_guard_triggers"] = spike_guard.n_triggers
+                    metrics_writer.write(step, row, epoch=epoch)
                 if profiler is not None:
                     profiler.maybe_stop(step)
             prog.update(n_batches, [])

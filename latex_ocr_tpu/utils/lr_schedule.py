@@ -145,3 +145,69 @@ class LRSchedule:
 
         if not (self._decay_mode == "noam" and (batch_no or 0) <= self._end_warm):
             self.lr = max(self.lr, self._lr_min)
+
+
+class SpikeGuard:
+    """Loss-spike lr cooldown — the measured answer to GRU hot-phase
+    instability (design.md §16.8).
+
+    The r4 same-seed A/B refuted gradient clipping as the stabilizer:
+    Adam's g/√v̂ step is scale-invariant once v̂ adapts, so no norm bound
+    on g bounds the parameter displacement, and a tighter clip only slows
+    re-grounding after a collapse. What the census DID show is that the
+    explosions are loss-visible (0.03 → 3-5 within a few dozen steps) and
+    lr-gated (zero spikes at ≤2e-4). This guard acts on exactly that
+    evidence: once training has converged (a sampled loss below
+    ``converged``), a sampled loss above ``threshold`` scales the lr by
+    ``cooldown_mult`` for the next ``cooldown_steps`` train steps —
+    cutting the positive feedback while the run re-grounds, then
+    restoring the schedule's lr. Re-triggers extend the cooldown until
+    the loss is back under ``threshold``.
+
+    Host-side and sampling-tolerant by design: the trainer only reads the
+    loss scalar every 10 steps (a per-step device sync would serialize
+    dispatch), and a spike lasting hundreds of steps is caught within one
+    sampling stride. The lr stays a dynamic scalar argument, so the guard
+    never triggers a recompile.
+    """
+
+    def __init__(
+        self,
+        threshold: float = 3.0,
+        converged: float = 1.0,
+        cooldown_mult: float = 0.1,
+        cooldown_steps: int = 300,
+    ):
+        assert threshold > converged > 0.0, (threshold, converged)
+        assert 0.0 < cooldown_mult <= 1.0, cooldown_mult
+        self._threshold = float(threshold)
+        self._converged = float(converged)
+        self._cooldown_mult = float(cooldown_mult)
+        self._cooldown_steps = int(cooldown_steps)
+        self._armed = False
+        self._cooldown_until = -1
+        self.n_triggers = 0
+
+    def observe(self, step: int, loss: float) -> None:
+        """Feed a sampled (step, train loss) pair."""
+        if loss < self._converged:
+            self._armed = True
+        elif self._armed and loss > self._threshold and step >= self._cooldown_until:
+            self._cooldown_until = step + self._cooldown_steps
+            self.n_triggers += 1
+
+    def scale(self, step: int) -> float:
+        """Multiplier to apply to the schedule's lr at this step."""
+        return self._cooldown_mult if step < self._cooldown_until else 1.0
+
+    def state_dict(self) -> dict:
+        return {
+            "armed": self._armed,
+            "cooldown_until": self._cooldown_until,
+            "n_triggers": self.n_triggers,
+        }
+
+    def load_state_dict(self, sd: dict) -> None:
+        self._armed = bool(sd["armed"])
+        self._cooldown_until = int(sd["cooldown_until"])
+        self.n_triggers = int(sd["n_triggers"])

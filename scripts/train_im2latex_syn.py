@@ -75,9 +75,15 @@ ap.add_argument("--transformer-config", default=None,
                      'e.g. \'{"num_layers": 4, "dim_model": 256}\'')
 ap.add_argument("--clip", type=float, default=5.0,
                 help="global-norm gradient clip (models/img2seq.py "
-                     "optimizer factory). The LSTM-tuned 5.0 never engages "
-                     "at converged gradient scale (~1e-2); the GRU family "
-                     "needs 1.0 at lr >= 5e-4 (design.md §16.8)")
+                     "optimizer factory). NOT a stability lever under adam "
+                     "— the r4 same-seed A/B refuted tighter clipping for "
+                     "the GRU hot phases (design.md §16.8); use "
+                     "--spike-guard instead")
+ap.add_argument("--spike-guard", action="store_true",
+                help="loss-spike lr cooldown (utils/lr_schedule.py "
+                     "SpikeGuard): after convergence, a sampled loss >3.0 "
+                     "scales lr x0.1 for 300 steps while the run "
+                     "re-grounds (design.md §16.8)")
 ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
@@ -106,6 +112,7 @@ cfg = Config({
     "batch_size": args.batch_size, "n_epochs": args.n_epochs,
     "dropout": args.dropout,
     "clip": args.clip,
+    "spike_guard": args.spike_guard,
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
     "alpha_c": args.alpha_c,
     "label_smoothing": args.label_smoothing,

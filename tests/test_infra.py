@@ -309,3 +309,32 @@ def test_lr_noam_score_decay_persists_across_recompute():
     s3.load_state_dict(state)
     s3.update(batch_no=12)
     assert abs(s3.lr - s.lr) < 1e-15
+
+
+def test_spike_guard_lifecycle():
+    """SpikeGuard (design.md §16.8): arms only after convergence, triggers
+    on sampled spikes, holds the cooldown, extends on persistent spikes,
+    and round-trips its state."""
+    from latex_ocr_tpu.utils.lr_schedule import SpikeGuard
+
+    g = SpikeGuard(threshold=3.0, converged=1.0, cooldown_mult=0.1,
+                   cooldown_steps=100)
+    # pre-convergence losses are high by nature: never trigger
+    g.observe(0, 5.0)
+    assert g.n_triggers == 0 and g.scale(1) == 1.0
+    g.observe(10, 0.5)  # converged -> armed
+    g.observe(20, 4.0)  # spike
+    assert g.n_triggers == 1
+    assert g.scale(21) == 0.1 and g.scale(119) == 0.1 and g.scale(120) == 1.0
+    g.observe(80, 4.0)  # mid-cooldown: no re-trigger
+    assert g.n_triggers == 1
+    g.observe(130, 4.0)  # past cooldown, still spiking -> extends
+    assert g.n_triggers == 2 and g.scale(131) == 0.1 and g.scale(229) == 0.1
+    g.observe(300, 0.2)  # recovered
+    assert g.scale(301) == 1.0
+    g.observe(310, 9.0)  # a later spike triggers again
+    assert g.n_triggers == 3
+
+    g2 = SpikeGuard()
+    g2.load_state_dict(g.state_dict())
+    assert g2.n_triggers == 3 and g2.scale(311) == 0.1 and g2.scale(800) == 1.0

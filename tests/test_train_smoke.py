@@ -223,3 +223,39 @@ def test_eval_decode_megakernel_compile_fallback(small_dataset, tmp_path):
     trainer2 = Trainer(sibling, cfg, str(tmp_path) + "/")
     with pytest.raises(RuntimeError, match="vmem"):
         trainer2._decode_fallback_model(RuntimeError("vmem"))
+
+
+def test_train_with_spike_guard(small_dataset, tmp_path):
+    """`spike_guard: true` wires SpikeGuard through the train loop: the lr
+    column in metrics.jsonl is the effective (possibly cooled) lr and the
+    trigger counter is recorded."""
+    import json
+
+    import jax
+
+    vocab = _vocab(small_dataset)
+    config = Config(
+        dict(
+            TINY_MODEL,
+            batch_size=8,
+            n_epochs=1,
+            dropout=1.0,
+            clip=-1,
+            lr_method="adam",
+            buckets=small_dataset["buckets"],
+            seed=0,
+            spike_guard=True,
+            eval_every=1,
+        )
+    )
+    model = Img2SeqModel(config, vocab)
+    trainer = Trainer(model, config, str(tmp_path) + "/run/")
+    train = _dataset(small_dataset, "train", vocab)
+    val = _dataset(small_dataset, "val", vocab)
+    from latex_ocr_tpu.utils import LRSchedule
+
+    trainer.train(train, val, LRSchedule(lr_init=1e-3, lr_min=1e-4))
+    rows = [json.loads(l) for l in open(str(tmp_path) + "/run/metrics.jsonl")]
+    train_rows = [r for r in rows if "spike_guard_triggers" in r]
+    assert train_rows, "guard counter missing from train metrics"
+    assert all(r["spike_guard_triggers"] == 0 for r in train_rows)  # no spike here
