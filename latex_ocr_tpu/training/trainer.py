@@ -95,20 +95,25 @@ class Trainer:
         rng = jax.random.PRNGKey(int(getattr(config, "seed", 42)))
         rng, init_rng = jax.random.split(rng)
 
-        # opt-in loss-spike lr cooldown (utils/lr_schedule.py SpikeGuard;
-        # design.md §16.8): `spike_guard: true` for defaults or a dict of
-        # overrides. Host-side on the sampled loss; the lr stays a dynamic
-        # scalar so the guard never recompiles. Cooldown state is NOT
-        # checkpointed (schema-stable): on resume the guard re-arms after
-        # the first converged sample, which is the safe direction.
+        # opt-in loss-excursion lr guard (utils/lr_schedule.py; design.md
+        # §16.8): `spike_guard: true` for the cooldown defaults, or a dict
+        # of overrides with an optional `mode` — "cooldown" (SpikeGuard,
+        # measured and refuted; kept for A/B reproducibility) or
+        # "converge_cap" (ConvergenceGate, the onset-side stabilizer).
+        # Host-side on the sampled loss; the lr stays a dynamic scalar so
+        # the guard never recompiles. Guard state is NOT checkpointed
+        # (schema-stable): on resume it re-arms after the first converged
+        # sample, which is the safe direction.
         guard_cfg = getattr(config, "spike_guard", None)
         spike_guard = None
         if guard_cfg:
-            from ..utils.lr_schedule import SpikeGuard
+            from ..utils.lr_schedule import ConvergenceGate, SpikeGuard
 
-            spike_guard = SpikeGuard(
-                **(guard_cfg if isinstance(guard_cfg, dict) else {})
-            )
+            opts = dict(guard_cfg) if isinstance(guard_cfg, dict) else {}
+            mode = opts.pop("mode", "cooldown")
+            guard_cls = {"cooldown": SpikeGuard,
+                         "converge_cap": ConvergenceGate}[mode]
+            spike_guard = guard_cls(**opts)
 
         params = model.init_params(init_rng)
         if init_params is not None:
@@ -207,7 +212,7 @@ class Trainer:
                 n_real = int(batch.pop("n_real"))
                 lr_eff = lr_schedule.lr
                 if spike_guard is not None:
-                    lr_eff *= spike_guard.scale(step)
+                    lr_eff = spike_guard.apply(step, lr_eff)
                 params, opt_state, metrics = model.train_step(
                     params, opt_state, batch, lr_eff, step_rng, keep_prob
                 )
@@ -217,15 +222,9 @@ class Trainer:
                 if (i + 1) % 10 == 0 or i == 0:
                     loss = float(metrics["loss"])
                     if spike_guard is not None:
-                        was = spike_guard.n_triggers
-                        spike_guard.observe(step, loss)
-                        if spike_guard.n_triggers > was:
-                            self.logger.warning(
-                                "spike guard: loss %.3f at step %d — lr x%g "
-                                "for %d steps",
-                                loss, step, spike_guard._cooldown_mult,
-                                spike_guard._cooldown_steps,
-                            )
+                        event = spike_guard.observe(step, loss)
+                        if event:
+                            self.logger.warning("%s", event)
                     prog.update(
                         i + 1,
                         [("loss", loss), ("perplexity", float(np.exp(min(20.0, loss)))),

@@ -148,21 +148,21 @@ class LRSchedule:
 
 
 class SpikeGuard:
-    """Loss-spike lr cooldown — the measured answer to GRU hot-phase
-    instability (design.md §16.8).
+    """Loss-spike lr cooldown — a reactive GRU stabilizer, measured and
+    REFUTED (design.md §16.8; RESULTS.md "GRU stability" sections).
 
-    The r4 same-seed A/B refuted gradient clipping as the stabilizer:
-    Adam's g/√v̂ step is scale-invariant once v̂ adapts, so no norm bound
-    on g bounds the parameter displacement, and a tighter clip only slows
-    re-grounding after a collapse. What the census DID show is that the
-    explosions are loss-visible (0.03 → 3-5 within a few dozen steps) and
-    lr-gated (zero spikes at ≤2e-4). This guard acts on exactly that
-    evidence: once training has converged (a sampled loss below
+    The r4 clip A/B refuted gradient clipping (Adam's g/√v̂ step is
+    scale-invariant once v̂ adapts); this guard was the follow-up
+    hypothesis — once training has converged (a sampled loss below
     ``converged``), a sampled loss above ``threshold`` scales the lr by
-    ``cooldown_mult`` for the next ``cooldown_steps`` train steps —
-    cutting the positive feedback while the run re-grounds, then
-    restoring the schedule's lr. Re-triggers extend the cooldown until
-    the loss is back under ``threshold``.
+    ``cooldown_mult`` for the next ``cooldown_steps`` train steps.
+    The same-seed A/B on the worst-spiker phase refuted it too: cutting
+    lr AFTER ignition stalls re-grounding (recovery needs the full lr),
+    so the guard arm spent its entire budget stuck at the LM floor,
+    re-triggering at every cooldown expiry (test EM 8.0 vs the
+    unguarded control's 61.0). Kept for A/B reproducibility; the
+    mechanism-consistent stabilizer is ``ConvergenceGate`` below, which
+    acts on the onset side instead.
 
     Host-side and sampling-tolerant by design: the trainer only reads the
     loss scalar every 10 steps (a per-step device sync would serialize
@@ -188,17 +188,30 @@ class SpikeGuard:
         self._cooldown_until = -1
         self.n_triggers = 0
 
-    def observe(self, step: int, loss: float) -> None:
-        """Feed a sampled (step, train loss) pair."""
+    def observe(self, step: int, loss: float):
+        """Feed a sampled (step, train loss) pair.
+
+        Returns a human-readable event string when the guard triggers,
+        else None (the trainer logs it).
+        """
         if loss < self._converged:
             self._armed = True
         elif self._armed and loss > self._threshold and step >= self._cooldown_until:
             self._cooldown_until = step + self._cooldown_steps
             self.n_triggers += 1
+            return (
+                f"spike guard: loss {loss:.3f} at step {step} — "
+                f"lr x{self._cooldown_mult:g} for {self._cooldown_steps} steps"
+            )
+        return None
 
     def scale(self, step: int) -> float:
         """Multiplier to apply to the schedule's lr at this step."""
         return self._cooldown_mult if step < self._cooldown_until else 1.0
+
+    def apply(self, step: int, lr: float) -> float:
+        """The schedule lr after this guard's intervention."""
+        return lr * self.scale(step)
 
     def state_dict(self) -> dict:
         return {
@@ -210,4 +223,71 @@ class SpikeGuard:
     def load_state_dict(self, sd: dict) -> None:
         self._armed = bool(sd["armed"])
         self._cooldown_until = int(sd["cooldown_until"])
+        self.n_triggers = int(sd["n_triggers"])
+
+
+class ConvergenceGate:
+    """Convergence-gated lr cap — the onset-side GRU stabilizer
+    (design.md §16.8).
+
+    Both reactive stabilizers were refuted by same-seed A/Bs on the
+    worst-spiker phase (the Uni GRU hot phase): tighter clipping cannot
+    bound Adam's effective step, and the ``SpikeGuard`` lr cooldown
+    stalls re-grounding because recovery needs the full lr. What the
+    censuses establish is that prevention and recovery want OPPOSITE lr
+    regimes: spikes ignite only FROM the converged state at lr ≥ 5e-4
+    (zero spikes at ≤ 2e-4 anywhere in any chain), while re-grounding
+    after a collapse is fast at full lr and ~5-10× slower at reduced lr.
+
+    The gate gives each phase its own regime: while the sampled loss is
+    above ``converged`` (initial grounding, or recovery from a spike)
+    the schedule's lr passes through untouched; once the run converges,
+    the lr is capped at ``cap`` — the measured spike-free level. If a
+    spike ignites anyway, the cap releases when the sampled loss
+    exceeds ``release`` so recovery runs at full lr, and re-engages on
+    re-convergence. Same host-side 10-step loss sampling and
+    dynamic-scalar lr as ``SpikeGuard`` (never recompiles).
+    """
+
+    def __init__(
+        self,
+        cap: float = 2e-4,
+        converged: float = 1.0,
+        release: float = 3.0,
+    ):
+        assert release > converged > 0.0, (release, converged)
+        assert cap > 0.0, cap
+        self._cap = float(cap)
+        self._converged = float(converged)
+        self._release = float(release)
+        self._engaged = False
+        self.n_triggers = 0  # cap releases: spikes that ignited anyway
+
+    def observe(self, step: int, loss: float):
+        """Feed a sampled (step, train loss) pair; returns an event
+        string on an engage/release transition, else None."""
+        if not self._engaged and loss < self._converged:
+            self._engaged = True
+            return (
+                f"convergence gate: loss {loss:.3f} at step {step} — "
+                f"lr capped at {self._cap:g}"
+            )
+        if self._engaged and loss > self._release:
+            self._engaged = False
+            self.n_triggers += 1
+            return (
+                f"convergence gate: loss {loss:.3f} at step {step} — "
+                f"cap released for full-lr recovery"
+            )
+        return None
+
+    def apply(self, step: int, lr: float) -> float:
+        """The schedule lr after this gate's intervention."""
+        return min(lr, self._cap) if self._engaged else lr
+
+    def state_dict(self) -> dict:
+        return {"engaged": self._engaged, "n_triggers": self.n_triggers}
+
+    def load_state_dict(self, sd: dict) -> None:
+        self._engaged = bool(sd["engaged"])
         self.n_triggers = int(sd["n_triggers"])

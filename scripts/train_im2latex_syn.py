@@ -78,12 +78,20 @@ ap.add_argument("--clip", type=float, default=5.0,
                      "optimizer factory). NOT a stability lever under adam "
                      "— the r4 same-seed A/B refuted tighter clipping for "
                      "the GRU hot phases (design.md §16.8); use "
-                     "--spike-guard instead")
+                     "--converge-cap instead")
 ap.add_argument("--spike-guard", action="store_true",
                 help="loss-spike lr cooldown (utils/lr_schedule.py "
                      "SpikeGuard): after convergence, a sampled loss >3.0 "
-                     "scales lr x0.1 for 300 steps while the run "
-                     "re-grounds (design.md §16.8)")
+                     "scales lr x0.1 for 300 steps. Measured and REFUTED "
+                     "as a GRU stabilizer (design.md §16.8) — kept for "
+                     "A/B reproducibility; use --converge-cap instead")
+ap.add_argument("--converge-cap", type=float, default=None,
+                help="convergence-gated lr cap (utils/lr_schedule.py "
+                     "ConvergenceGate): full schedule lr while the loss "
+                     "is above 1.0 (grounding/recovery), capped at this "
+                     "value once converged — the onset-side stabilizer "
+                     "for GRU hot phases (design.md §16.8); 2e-4 is the "
+                     "measured spike-free level")
 ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
@@ -112,7 +120,8 @@ cfg = Config({
     "batch_size": args.batch_size, "n_epochs": args.n_epochs,
     "dropout": args.dropout,
     "clip": args.clip,
-    "spike_guard": args.spike_guard,
+    "spike_guard": ({"mode": "converge_cap", "cap": args.converge_cap}
+                    if args.converge_cap else args.spike_guard),
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
     "alpha_c": args.alpha_c,
     "label_smoothing": args.label_smoothing,

@@ -338,3 +338,47 @@ def test_spike_guard_lifecycle():
     g2 = SpikeGuard()
     g2.load_state_dict(g.state_dict())
     assert g2.n_triggers == 3 and g2.scale(311) == 0.1 and g2.scale(800) == 1.0
+    # unified guard protocol: observe returns an event string on trigger,
+    # apply composes the intervention onto the schedule lr
+    g3 = SpikeGuard(threshold=3.0, converged=1.0, cooldown_mult=0.1,
+                    cooldown_steps=100)
+    assert g3.observe(0, 0.5) is None
+    ev = g3.observe(10, 4.0)
+    assert ev and "spike guard" in ev
+    assert abs(g3.apply(11, 1e-3) - 1e-4) < 1e-12
+    assert g3.apply(200, 1e-3) == 1e-3
+
+
+def test_convergence_gate_lifecycle():
+    """ConvergenceGate (design.md §16.8): passes full lr through while
+    grounding, caps on convergence, releases the cap for full-lr recovery
+    when a spike ignites anyway, re-engages on re-convergence, and
+    round-trips its state."""
+    from latex_ocr_tpu.utils.lr_schedule import ConvergenceGate
+
+    g = ConvergenceGate(cap=2e-4, converged=1.0, release=3.0)
+    # initial grounding: loss high, full lr passes through
+    assert g.observe(0, 25.0) is None
+    assert g.apply(1, 5e-4) == 5e-4
+    # convergence engages the cap
+    ev = g.observe(100, 0.5)
+    assert ev and "capped" in ev
+    assert g.apply(101, 5e-4) == 2e-4
+    assert g.apply(101, 1e-4) == 1e-4  # never raises a lower schedule lr
+    assert g.observe(110, 0.4) is None  # staying converged: no re-event
+    # mild excursion (1.0 < loss < release): cap holds
+    assert g.observe(120, 2.0) is None
+    assert g.apply(121, 5e-4) == 2e-4
+    # ignition past the release threshold: cap releases for recovery
+    ev = g.observe(130, 4.5)
+    assert ev and "released" in ev
+    assert g.n_triggers == 1
+    assert g.apply(131, 5e-4) == 5e-4
+    # re-convergence re-engages
+    ev = g.observe(300, 0.3)
+    assert ev and "capped" in ev
+    assert g.apply(301, 5e-4) == 2e-4
+
+    g2 = ConvergenceGate()
+    g2.load_state_dict(g.state_dict())
+    assert g2.n_triggers == 1 and g2.apply(302, 5e-4) == 2e-4
