@@ -227,25 +227,27 @@ class SpikeGuard:
 
 
 class ConvergenceGate:
-    """Convergence-gated lr cap — the onset-side GRU stabilizer
-    (design.md §16.8).
+    """Convergence-gated lr cap — the onset-side GRU stabilizer,
+    measured and REFUTED (design.md §16.8; RESULTS.md "GRU stabilizer
+    A/Bs (r4)").
 
-    Both reactive stabilizers were refuted by same-seed A/Bs on the
-    worst-spiker phase (the Uni GRU hot phase): tighter clipping cannot
-    bound Adam's effective step, and the ``SpikeGuard`` lr cooldown
-    stalls re-grounding because recovery needs the full lr. What the
-    censuses establish is that prevention and recovery want OPPOSITE lr
-    regimes: spikes ignite only FROM the converged state at lr ≥ 5e-4
-    (zero spikes at ≤ 2e-4 anywhere in any chain), while re-grounding
-    after a collapse is fast at full lr and ~5-10× slower at reduced lr.
+    Design rationale: the clip and ``SpikeGuard`` censuses suggested
+    prevention and recovery want OPPOSITE lr regimes — spikes seemed to
+    ignite only from the converged state at lr ≥ 5e-4 (zero spikes at
+    ≤ 2e-4 in every polish phase), while re-grounding is fast at full
+    lr. So the gate passes the schedule's lr through while the sampled
+    loss is above ``converged`` (grounding/recovery), caps it at
+    ``cap`` once converged, and releases the cap above ``release``.
 
-    The gate gives each phase its own regime: while the sampled loss is
-    above ``converged`` (initial grounding, or recovery from a spike)
-    the schedule's lr passes through untouched; once the run converges,
-    the lr is capped at ``cap`` — the measured spike-free level. If a
-    spike ignites anyway, the cap releases when the sampled loss
-    exceeds ``release`` so recovery runs at full lr, and re-engages on
-    re-convergence. Same host-side 10-step loss sampling and
+    The same-seed A/B on the worst-spiker phase refuted the premise:
+    all 57 cap engagements ignited UNDER the 2e-4 cap (56 releases),
+    and the capped lr slowed the between-spike climb 2.5× (test EM
+    41.2 vs the unguarded control's 61.0). The polish phases'
+    zero-spike record at 2e-4 is a property of fully-trained models on
+    the polish data mix, not of the lr alone — ignition is data/state-
+    driven. Kept for A/B reproducibility; the shipped configuration is
+    the unguarded control (constant lr, clip 5.0, keep-best
+    absorption). Same host-side 10-step loss sampling and
     dynamic-scalar lr as ``SpikeGuard`` (never recompiles).
     """
 
