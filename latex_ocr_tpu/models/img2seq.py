@@ -33,8 +33,20 @@ from .decoding import decode_beam, decode_greedy, decode_greedy_with_attention
 from .encoder import encode, init_encoder_params
 
 
-def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.GradientTransformation:
-    """lr-less optimizer core; the per-step lr is multiplied in at update."""
+def make_optimizer(
+    lr_method: str = "adam", clip: float = -1.0, update_clip: float = -1.0
+) -> optax.GradientTransformation:
+    """lr-less optimizer core; the per-step lr is multiplied in at update.
+
+    ``clip`` bounds the global gradient norm BEFORE the core (the
+    reference's clip, model/img2seq.py optimizer factory). ``update_clip``
+    bounds each element of the post-core update — for Adam that is
+    m̂/(√v̂+ε) itself, the quantity a pre-core norm clip provably cannot
+    bound (design.md §16.8: once v̂ adapts, a uniformly rescaled gradient
+    leaves g/√v̂ unchanged). With ``update_clip: c`` the worst-case
+    per-element step is exactly lr·c, so a stale second moment meeting a
+    hard batch can no longer rewrite the weights in one step.
+    """
     m = lr_method.lower()
     if m == "adam":
         core = optax.scale_by_adam()
@@ -52,6 +64,8 @@ def make_optimizer(lr_method: str = "adam", clip: float = -1.0) -> optax.Gradien
     if clip is not None and clip > 0:
         steps.append(optax.clip_by_global_norm(clip))
     steps.append(core)
+    if update_clip is not None and update_clip > 0:
+        steps.append(optax.clip(update_clip))
     steps.append(optax.scale(-1.0))
     return optax.chain(*steps)
 
@@ -235,11 +249,12 @@ class Img2SeqModel:
             "decoder": decoder,
         }
 
-    def init_optimizer(self, params: Dict, lr_method: str = "adam", clip: float = -1.0):
-        self._tx = make_optimizer(lr_method, clip)
+    def init_optimizer(self, params: Dict, lr_method: str = "adam", clip: float = -1.0,
+                       update_clip: float = -1.0):
+        self._tx = make_optimizer(lr_method, clip, update_clip)
         # part of the jit key: train_step traces through self._tx, so
-        # program sharing must distinguish (method, clip) pairs
-        self._opt_spec = (str(lr_method), float(clip))
+        # program sharing must distinguish (method, clip, update_clip)
+        self._opt_spec = (str(lr_method), float(clip), float(update_clip))
         return self._tx.init(params)
 
     # ------------------------------------------------------------ forward

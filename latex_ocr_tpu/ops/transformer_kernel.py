@@ -263,7 +263,12 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
     bb=16 (fixed ~8.5 MB + 16 rows x ~3.0 MB = ~56 MB) while leaving
     ~28 MB of the 100 MB scoped limit for the fp32 attention transients
     and the output block."""
-    budget = 72 * 1024 * 1024
+    # beam kernels (K > 1) get a higher budget: their dominant transient —
+    # the K-way masked-select cache reorder — is chunked along the time
+    # axis (see _beam_kernel), so per-step VMEM transients no longer scale
+    # with K·bb and less headroom must be reserved for them. Greedy keeps
+    # the measured 72 MB.
+    budget = (88 if K > 1 else 72) * 1024 * 1024
     fixed = itemsize * (
         Tc * D                      # positional table
         + (V + 1) * D + D * V       # embedding table + start + out_w
@@ -275,15 +280,13 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
     # K/V blocks are shared across beam slots and do NOT scale with K
     per_row = 2 * L * (K * Tc + 2 * Rp) * D * itemsize
     bb = 64
-    # wide beams cap the block at 8 rows: Mosaic's register allocator
-    # keeps the K per-slot row blocks live through the masked-select
-    # reorder chains, and its spill slots grow ~K x bb ON TOP of the
-    # data buffers budgeted here. Measured on v5e (2L/256d, T=151):
-    # K=2/bb=16 and K=5/bb=8 compile and run; K=5/bb=16 adds 61.4 MB of
-    # "register allocator spill slots" (147 MB total > the 128 MB VMEM)
-    # and fails at compile — found by the r4 beam-5 quality sweep.
-    if K >= 4:
-        bb = 8
+    # NOTE on wide beams: an earlier revision hard-capped K>=4 at bb=8
+    # because Mosaic's register allocator kept the K per-slot row blocks
+    # live through whole-buffer masked-select reorder chains and spilled
+    # 61.4 MB at K=5/bb=16 (147 MB total > the 128 MB VMEM — found by the
+    # r4 beam-5 sweep). The reorder is now chunked along the time axis
+    # (_beam_kernel), bounding those live ranges, so the block size is
+    # budget-driven again for every K.
     while bb > 8 and fixed + bb * per_row > budget:
         bb //= 2
     if fixed + bb * per_row > budget:
@@ -649,28 +652,48 @@ def _beam_kernel(
         parents_ref[0, pl.ds(t, 1), :] = parents_col.T
 
         # KV-cache reorder: per-slot parent as (Bb, 1) int, then a K-way
-        # masked select across the per-slot buffers (all news computed
-        # before any write — reads must see the pre-permute cache)
+        # masked select across the per-slot buffers. The select runs in
+        # CHUNKS along the time axis (the reorder mixes only across the K
+        # buffer axis, so time positions are independent): whole-buffer
+        # selects kept all 2K (Bb, Tc, D) values live through the chain,
+        # and at K=5/bb=16 Mosaic's register allocator spilled 61 MB for
+        # them (the r4 beam-5 sweep failure that forced the bb=8 cap).
+        # Chunking bounds the live set at 2K·Bb·chunk·D bytes per
+        # iteration, and the loop stops after the chunk holding position
+        # t — later positions are still the zeros this kernel initialized
+        # (masked out of every softmax), and zeros permute to zeros.
         pars = []
         for k in range(K):
             p_f = sel_k(k, jnp.broadcast_to(
                 parents_col.astype(jnp.float32), (BK, D)).astype(dt))
             pars.append(p_f[:, :1].astype(jnp.int32))  # (Bb, 1)
-        for l in range(L):
-            for refs in (kc_refs, vc_refs):
-                olds = [refs[l * K + m][...] for m in range(K)]
-                news = []
-                for k in range(K):
-                    mask = [
-                        (pars[k] == m).astype(jnp.float32)[:, :, None]
+        masks = [
+            [(pars[k] == m).astype(jnp.float32)[:, :, None] for m in range(K)]
+            for k in range(K)
+        ]
+        Tc = kc_refs[0].shape[1]
+        chunk = max(8, 32 // np.dtype(dt).itemsize)  # the sublane tile
+        assert Tc % chunk == 0, (Tc, chunk)
+
+        def reorder_chunk(c, _):
+            off = c * chunk
+            for l in range(L):
+                for refs in (kc_refs, vc_refs):
+                    olds = [
+                        refs[l * K + m][:, pl.ds(off, chunk), :]
                         for m in range(K)
                     ]
-                    acc = olds[0].astype(jnp.float32) * mask[0]
-                    for m in range(1, K):
-                        acc = acc + olds[m].astype(jnp.float32) * mask[m]
-                    news.append(acc.astype(dt))
-                for k in range(K):
-                    refs[l * K + k][...] = news[k]
+                    news = []
+                    for k in range(K):
+                        acc = olds[0].astype(jnp.float32) * masks[k][0]
+                        for m in range(1, K):
+                            acc = acc + olds[m].astype(jnp.float32) * masks[k][m]
+                        news.append(acc.astype(dt))
+                    for k in range(K):
+                        refs[l * K + k][:, pl.ds(off, chunk), :] = news[k]
+            return 0
+
+        jax.lax.fori_loop(0, t // chunk + 1, reorder_chunk, 0)
 
         # permute the (BK, 1) carries by parent (one-hot matmul)
         src = parents_col + group_base

@@ -28,8 +28,17 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep),
         )
 
-    def save(self, epoch: int, params: Dict, opt_state: Any, extra: Optional[Dict] = None) -> None:
+    def save(self, epoch: int, params: Dict, opt_state: Any, extra: Optional[Dict] = None,
+             raw_params: Optional[Dict] = None) -> None:
+        """``params`` is the published model — what eval/predict/serving
+        restore. With EMA weight averaging on, the trainer passes the
+        averaged weights as ``params`` (eval selected on them) and the
+        raw training weights as ``raw_params`` so exact resume continues
+        the true optimizer trajectory. Without EMA the schema is
+        unchanged (no ``raw_params`` item)."""
         state = {"params": params, "opt_state": opt_state, "extra": extra or {}}
+        if raw_params is not None:
+            state["raw_params"] = raw_params
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
@@ -37,32 +46,47 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
     def restore(
-        self, params_like: Dict, opt_state_like: Any, extra_like: Optional[Dict] = None
-    ) -> Optional[Tuple[Dict, Any, Dict, int]]:
+        self, params_like: Dict, opt_state_like: Any, extra_like: Optional[Dict] = None,
+        raw_like: Optional[Dict] = None,
+    ) -> Optional[Tuple[Dict, Any, Dict, int, Optional[Dict]]]:
         """Restore the latest checkpoint shaped like the given pytrees.
 
         ``extra_like`` is a template for the host-state dict saved via
         ``save(extra=...)`` (e.g. best_score + LRSchedule counters); if the
         stored checkpoint's extra tree doesn't match (older format), the
-        tensors are still restored and extra comes back empty.
+        tensors are still restored and extra comes back empty. ``raw_like``
+        is a template for the optional ``raw_params`` item (EMA runs);
+        a checkpoint without one (EMA enabled mid-run, or pre-EMA format)
+        restores with raw_params None.
 
-        Returns (params, opt_state, extra, epoch) or None if no checkpoint.
+        Returns (params, opt_state, extra, epoch, raw_params_or_None) or
+        None if no checkpoint.
         """
         step = self._mgr.latest_step()
         if step is None:
             return None
-        for extra_target in ((extra_like or {}), {}):
+        # target preference order: with raw_params if the caller wants it,
+        # then without; full extra template, then empty
+        shapes = ([True, False] if raw_like is not None else [False])
+        attempts = [
+            (want_raw, extra_target)
+            for want_raw in shapes
+            for extra_target in ((extra_like or {}), {})
+        ]
+        for i, (want_raw, extra_target) in enumerate(attempts):
             target = {
                 "params": params_like,
                 "opt_state": opt_state_like,
                 "extra": extra_target,
             }
+            if want_raw:
+                target["raw_params"] = raw_like
             try:
                 restored = self._mgr.restore(
                     step, args=ocp.args.StandardRestore(target)
                 )
             except Exception:
-                if not extra_target:
+                if i == len(attempts) - 1:
                     raise
                 continue
             return (
@@ -70,8 +94,9 @@ class CheckpointManager:
                 restored["opt_state"],
                 restored.get("extra", {}) or {},
                 step,
+                restored.get("raw_params"),
             )
-        return None  # unreachable: the {} retry either returns or raises
+        return None  # unreachable: the last attempt either returns or raises
 
     def restore_params(
         self, params_like: Optional[Dict] = None, required: bool = False

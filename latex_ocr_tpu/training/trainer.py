@@ -25,6 +25,19 @@ from ..evaluation.text import score_files, write_answers
 from ..utils.general import Progbar, get_logger, init_dir
 from ..utils.metrics import MetricsWriter, StepProfiler
 from .checkpoint import CheckpointManager
+import functools
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _ema_step(ema, params, decay: float):
+    """One fused Polyak-average update: ema ← d·ema + (1−d)·params.
+
+    The old EMA buffers are donated (updated in place); params leaves are
+    cast onto the EMA dtype so a mixed-precision tree averages in the
+    master dtype."""
+    return jax.tree.map(
+        lambda e, p: e * decay + p.astype(e.dtype) * (1.0 - decay), ema, params
+    )
 
 
 class Trainer:
@@ -123,12 +136,26 @@ class Trainer:
             params,
             getattr(config, "lr_method", "adam"),
             getattr(config, "clip", -1),
+            getattr(config, "update_clip", -1),
         )
         if self.mesh is not None:
             from ..parallel.mesh import replicate
 
             params = replicate(params, self.mesh)
             opt_state = replicate(opt_state, self.mesh)
+
+        # `ema_decay: d` (0 = off) keeps a Polyak average of the weights on
+        # device and makes IT the published model: eval decodes, keep-best
+        # selection, the saved checkpoint's `params`, and _final_params are
+        # all the averaged weights; raw weights ride along as `raw_params`
+        # for exact resume. One fused multiply-add program per step.
+        ema_decay = float(getattr(config, "ema_decay", 0.0) or 0.0)
+        assert 0.0 <= ema_decay < 1.0, f"ema_decay out of range: {ema_decay}"
+        ema_params = None
+        if ema_decay > 0.0:
+            # a real device copy: train_step donates its params buffers, so
+            # aliasing them here would hand EMA a deleted array
+            ema_params = jax.tree.map(jax.numpy.copy, params)
 
         ckpt = CheckpointManager(os.path.join(self.dir_output, "model_weights"))
         start_epoch = 0
@@ -146,7 +173,10 @@ class Trainer:
             "n_no_improvement": 0,
         }
         try:
-            restored = ckpt.restore(params, opt_state, extra_like)
+            restored = ckpt.restore(
+                params, opt_state, extra_like,
+                raw_like=params if ema_decay > 0.0 else None,
+            )
         except ValueError as e:
             # orbax raises a deep shape-compat error when the run dir holds
             # a checkpoint for a DIFFERENT model (e.g. another vocab size) —
@@ -158,7 +188,18 @@ class Trainer:
                 f"--output. Original error: {e}"
             ) from e
         if restored is not None:
-            params, opt_state, extra, start_epoch = restored
+            saved_params, opt_state, extra, start_epoch, raw_params = restored
+            if ema_decay > 0.0:
+                # checkpoint `params` are the EMA (the published model);
+                # training resumes from `raw_params` when present (a
+                # checkpoint written before EMA was enabled has none —
+                # then both start from the saved weights)
+                ema_params = saved_params
+                params = raw_params if raw_params is not None else jax.tree.map(
+                    jax.numpy.copy, saved_params
+                )
+            else:
+                params = saved_params
             start_epoch += 1
             if extra:
                 best_score = float(extra["best_score"])
@@ -216,6 +257,8 @@ class Trainer:
                 params, opt_state, metrics = model.train_step(
                     params, opt_state, batch, lr_eff, step_rng, keep_prob
                 )
+                if ema_params is not None:
+                    ema_params = _ema_step(ema_params, params, ema_decay)
                 n_images += n_real
                 global_step += 1
                 lr_schedule.update(batch_no=step)
@@ -258,8 +301,9 @@ class Trainer:
                     f"- Elapsed: {elapsed:.2f}s (eval skipped, every {eval_every})"
                 )
                 continue
+            eval_params = ema_params if ema_params is not None else params
             scores = self.evaluate(
-                params, val_set, os.path.join(self.dir_output, "formulas_val/")
+                eval_params, val_set, os.path.join(self.dir_output, "formulas_val/")
             )
             score = scores["perplexity_score"]
             lr_schedule.update(score=score)
@@ -280,8 +324,9 @@ class Trainer:
                 sd = lr_schedule.state_dict()
                 ckpt.save(
                     epoch,
-                    params,
+                    eval_params,
                     opt_state,
+                    raw_params=params if ema_params is not None else None,
                     extra={
                         "best_score": float(best_score),
                         "global_step": int(global_step),
@@ -300,7 +345,9 @@ class Trainer:
 
         ckpt.close()
         metrics_writer.close()
-        self._final_params = params
+        # the published weights: the EMA when averaging is on (what eval
+        # selected and the checkpoint stores as `params`)
+        self._final_params = ema_params if ema_params is not None else params
         return best_score
 
     # ------------------------------------------------------------------- eval

@@ -92,6 +92,18 @@ ap.add_argument("--converge-cap", type=float, default=None,
                      "value once converged — the onset-side stabilizer "
                      "for GRU hot phases (design.md §16.8); 2e-4 is the "
                      "measured spike-free level")
+ap.add_argument("--update-clip", type=float, default=-1.0,
+                help="per-element bound on the post-Adam update m̂/(√v̂+ε) "
+                     "(models/img2seq.py make_optimizer): caps the "
+                     "worst-case per-element step at lr×this — the "
+                     "quantity a global-norm clip provably cannot bound "
+                     "(design.md §16.8); the mechanism-level GRU "
+                     "stabilizer candidate")
+ap.add_argument("--ema-decay", type=float, default=0.0,
+                help="Polyak weight averaging (training/trainer.py): eval, "
+                     "keep-best selection, and the published checkpoint "
+                     "all use the EMA weights; raw weights ride along for "
+                     "exact resume. 0 = off; 0.999 ≈ a 1000-step window")
 ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
@@ -120,6 +132,8 @@ cfg = Config({
     "batch_size": args.batch_size, "n_epochs": args.n_epochs,
     "dropout": args.dropout,
     "clip": args.clip,
+    "update_clip": args.update_clip,
+    "ema_decay": args.ema_decay,
     "spike_guard": ({"mode": "converge_cap", "cap": args.converge_cap}
                     if args.converge_cap else args.spike_guard),
     "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,

@@ -115,7 +115,8 @@ def test_checkpoint_extra_roundtrip(tmp_path):
     restored = ckpt.restore(params, opt, extra_like={k: type(v)() for k, v in extra.items()})
     ckpt.close()
     assert restored is not None
-    _, _, got, epoch = restored
+    _, _, got, epoch, raw = restored
+    assert raw is None  # no raw_params item saved (EMA off)
     assert epoch == 3
     assert got["global_step"] == 17
     assert got["n_no_improvement"] == 2
@@ -382,3 +383,71 @@ def test_convergence_gate_lifecycle():
     g2 = ConvergenceGate()
     g2.load_state_dict(g.state_dict())
     assert g2.n_triggers == 1 and g2.apply(302, 5e-4) == 2e-4
+
+
+def test_update_clip_bounds_adam_effective_step():
+    """`update_clip` caps each element of the post-Adam update — the
+    quantity design.md §16.8 proves a global-norm clip cannot bound.
+
+    Scenario mirroring the GRU spike mechanism: the second moment adapts
+    to tiny converged gradients, then hard batches deliver gradients
+    1000x larger. Over consecutive hard steps m̂ tracks the new scale
+    ~100x faster than v̂ (β1 window 10 steps vs β2 window 1000), so the
+    unclipped update transiently approaches (1-β1)/√(1-β2) ≈ 3.16;
+    with update_clip=1.0 every element is exactly bounded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latex_ocr_tpu.models.img2seq import make_optimizer
+
+    params = {"w": jnp.zeros((4,), jnp.float32)}
+    tiny = {"w": jnp.full((4,), 1e-4, jnp.float32)}
+    huge = {"w": jnp.full((4,), 0.1, jnp.float32)}
+
+    def max_update_through_spike(update_clip):
+        tx = make_optimizer("adam", clip=-1.0, update_clip=update_clip)
+        upd = jax.jit(lambda g, s: tx.update(g, s, params))
+        state = tx.init(params)
+        for _ in range(200):  # v-hat adapts to the tiny converged scale
+            u, state = upd(tiny, state)
+        mx = 0.0
+        for _ in range(30):  # a sustained hard-batch excursion
+            u, state = upd(huge, state)
+            mx = max(mx, float(np.max(np.abs(np.asarray(u["w"])))))
+        return mx
+
+    unclipped = max_update_through_spike(-1.0)
+    clipped = max_update_through_spike(1.0)
+    assert unclipped > 2.0  # the stale-v-hat blowup is real (peaks ~2.9)
+    assert clipped <= 1.0 + 1e-6  # and exactly bounded
+
+
+def test_checkpoint_raw_params_roundtrip(tmp_path):
+    """EMA checkpoints: published `params` + `raw_params` for resume;
+    old-format checkpoints restore with raw None under the same call."""
+    import numpy as np
+
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+
+    ema = {"w": np.full((2, 2), 2.0, np.float32)}
+    raw = {"w": np.full((2, 2), 7.0, np.float32)}
+    opt = {"m": np.zeros((2, 2), np.float32)}
+
+    ckpt = CheckpointManager(str(tmp_path / "ck"))
+    ckpt.save(1, ema, opt, raw_params=raw)
+    got = ckpt.restore(ema, opt, raw_like=raw)
+    ckpt.close()
+    p, _, _, epoch, r = got
+    assert epoch == 1
+    np.testing.assert_array_equal(np.asarray(p["w"]), 2.0)
+    np.testing.assert_array_equal(np.asarray(r["w"]), 7.0)
+
+    # pre-EMA format: no raw_params item; raw_like still asked for
+    ckpt2 = CheckpointManager(str(tmp_path / "ck2"))
+    ckpt2.save(4, ema, opt)
+    got2 = ckpt2.restore(ema, opt, raw_like=raw)
+    ckpt2.close()
+    p2, _, _, epoch2, r2 = got2
+    assert epoch2 == 4 and r2 is None
+    np.testing.assert_array_equal(np.asarray(p2["w"]), 2.0)

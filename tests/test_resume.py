@@ -1,6 +1,8 @@
 """Checkpoint resume: training N epochs equals training k, restarting, and
 training N-k more (deterministic data order + restored opt state)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -122,3 +124,64 @@ def test_warm_start_init_params_and_fresh_host_state(mini_dataset, tmp_path):
     )
     restored = steps.restore_params(model.init_params(jax.random.PRNGKey(0)))
     assert restored is not None, "warm-started run never checkpointed"
+
+
+@pytest.mark.slow
+def test_ema_published_weights_and_resume(mini_dataset, tmp_path):
+    """`ema_decay`: the checkpoint's `params` are the Polyak average (what
+    eval selected, what predict/serving restore), raw weights ride along
+    as `raw_params`, and a resumed run continues from the raw trajectory."""
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+
+    vocab = Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
+                          "path_vocab": mini_dataset["path_vocab"]}))
+
+    def pipe(cache_tag):
+        return build_cached_pipeline(
+            mini_dataset["path_formulas_train"],
+            mini_dataset["dir_images_train"],
+            mini_dataset["path_matching_train"],
+            vocab.form_prepro,
+            str(tmp_path / f"cache_{cache_tag}"),
+            batch_size=8, id_pad=vocab.id_pad, id_end=vocab.id_end,
+            max_len=20, buckets=mini_dataset["buckets"],
+            max_formula_len=21, shuffle_seed=7,
+        )
+
+    out = str(tmp_path / "ema/")
+
+    def run(n_epochs, tag):
+        config = Config(dict(TINY, batch_size=8, n_epochs=n_epochs, dropout=1.0,
+                             clip=-1, lr_method="adam", ema_decay=0.9,
+                             buckets=mini_dataset["buckets"], seed=3))
+        model = Img2SeqModel(config, vocab)
+        trainer = Trainer(model, config, out)
+        trainer.train(pipe(tag), pipe(tag + "v"), LRSchedule(lr_init=1e-3))
+        return model, trainer
+
+    model, trainer = run(1, "e")
+
+    ckpt = CheckpointManager(os.path.join(out, "model_weights"))
+    params_like = model.init_params(jax.random.PRNGKey(0))
+    opt_like = model.init_optimizer(params_like)
+    extra_like = {"best_score": 0.0, "global_step": 0, "lr": 0.0,
+                  "score": 0.0, "n_no_improvement": 0}
+    got = ckpt.restore(params_like, opt_like, extra_like=extra_like,
+                       raw_like=params_like)
+    ckpt.close()
+    assert got is not None
+    published, _, _, _, raw = got
+    assert raw is not None
+    # published = EMA, raw = optimizer trajectory — genuinely different
+    p_leaves = jax.tree_util.tree_leaves(published)
+    r_leaves = jax.tree_util.tree_leaves(raw)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(p_leaves, r_leaves)
+    )
+    # _final_params are the published (EMA) weights
+    for a, b in zip(jax.tree_util.tree_leaves(trainer._final_params), p_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    # resume one more epoch: restores raw for training, ema for publishing
+    run(2, "e2")
