@@ -29,6 +29,7 @@ def main(
     decoder_arch: str = "transformer",
     transformer_config: dict = None,
     cell_type: str = "lstm",
+    batch: int = 256,
 ) -> None:
     """``n_real_tokens`` defaults to 500 (the im2latex vocab scale, and the
     round-1 bench workload — kept for round-over-round comparability).
@@ -51,7 +52,8 @@ def main(
     from latex_ocr_tpu.models.img2seq import Img2SeqModel
     from latex_ocr_tpu.utils import Config
 
-    B, H, W, T = 256, 50, 200, 64
+    # --batch probes batch-size scaling; 256 stays the headline shape
+    B, H, W, T = batch, 50, 200, 64
 
     # FLAGSHIP_MODEL is the transformer (r4 flagship declaration);
     # --lstm / --gru select the reference-parity attn-RNN family
@@ -238,6 +240,11 @@ if __name__ == "__main__":
         i = argv.index("--devices")
         main_dp_scaling(int(argv[i + 1]))
         sys.exit(0)
+    batch = 256
+    if "--batch" in argv:
+        i = argv.index("--batch")
+        batch = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     tf_cfg = None
     if "--transformer-config" in argv:
         i = argv.index("--transformer-config")
@@ -250,4 +257,4 @@ if __name__ == "__main__":
     cell = "gru" if "--gru" in argv else "lstm"
     args = [a for a in argv if a not in ("--transformer", "--lstm", "--gru")]
     main(int(args[0]) if args else 500, decoder_arch=arch,
-         transformer_config=tf_cfg, cell_type=cell)
+         transformer_config=tf_cfg, cell_type=cell, batch=batch)
