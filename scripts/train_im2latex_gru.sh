@@ -16,8 +16,12 @@ cd "$(dirname "$0")/.."
 # RESULTS.md "GRU stability A/B (r4)") REFUTED the tight-clip stabilizer —
 # clip 1.0 still exploded 21x on the Uni phase and recovered ~5x slower
 # (test EM 8.6 vs 61.0). The GRU family's lr>=5e-4 spikes self-recover and
-# keep-best absorbs them; for spike-free hot phases use lr<=2e-4 with a
-# longer epoch budget instead of a tighter clip.
+# keep-best absorbs them (this chain finishes at EM 97.00; kept unchanged
+# for round-over-round comparability). For spike-prone hot phases the
+# MEASURED winners are `--update-clip 1.0 --ema-decay 0.999` (RESULTS.md
+# "GRU stabilizer A/Bs (r4)": EM 64.0 / 64.6 vs the unguarded 61.0 on the
+# worst-spiker arm); lr<=2e-4 merely trades spikes for 2.5x slower
+# learning.
 GRU_ARGS=(--cell-type gru)
 GRU_HOT=(--clip 5.0)
 
