@@ -104,6 +104,10 @@ ap.add_argument("--ema-decay", type=float, default=0.0,
                      "keep-best selection, and the published checkpoint "
                      "all use the EMA weights; raw weights ride along for "
                      "exact resume. 0 = off; 0.999 ≈ a 1000-step window")
+ap.add_argument("--seed", type=int, default=0,
+                help="seeds the epoch reshuffle (the SGD trajectory) plus "
+                     "init/dropout streams; distinct seeds give genuinely "
+                     "distinct trajectories (multi-seed A/B spreads)")
 ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
@@ -136,7 +140,7 @@ cfg = Config({
     "ema_decay": args.ema_decay,
     "spike_guard": ({"mode": "converge_cap", "cap": args.converge_cap}
                     if args.converge_cap else args.spike_guard),
-    "lr_method": "adam", "buckets": buckets, "seed": 0, "eval_every": 3,
+    "lr_method": "adam", "buckets": buckets, "seed": args.seed, "eval_every": 3,
     "alpha_c": args.alpha_c,
     "label_smoothing": args.label_smoothing,
     # dataset paths: snapshotted (Config.save -> config.json) so the
@@ -157,7 +161,7 @@ def pipe(split, shuffle):
         base + f"cache_{split}", batch_size=args.batch_size,
         id_pad=vocab.id_pad, id_end=vocab.id_end, max_len=args.max_length,
         buckets=buckets, max_formula_len=args.max_length + 1, length_bucket=32,
-        shuffle_seed=0 if shuffle else None,
+        shuffle_seed=args.seed if shuffle else None,
         target_batch_pixels=64 * 100 * 500,
         sharding=batch_sharding(mesh) if mesh is not None else None,
         # device-resident HBM dataset and batch sharding are mutually

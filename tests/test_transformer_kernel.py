@@ -144,3 +144,24 @@ def test_transformer_megakernel_bf16_falls_back_to_xla():
         dec, feat, 6, 8, beam_size=2, num_heads=2, block_b=2, interpret=False
     )
     np.testing.assert_array_equal(np.asarray(bref.ids), np.asarray(bmega.ids))
+
+
+def test_auto_block_b_budget_arithmetic():
+    """Pin the beam/greedy VMEM budget picker (flagship 2L/256d, V=503,
+    F=1024, f32, T=151→Tc=152). The K≥4 hard cap is gone (the chunked
+    reorder removed the register-spill failure); block size is
+    budget-driven: beam 88 MB, greedy 72 MB. Guards the arithmetic the
+    r4 chip A/B validated (bb=16 compiles and runs at K=5/R=184)."""
+    from latex_ocr_tpu.ops.transformer_kernel import _auto_block_b, _round_tile
+
+    Tc = _round_tile(151, 4)
+    kw = dict(V=503, F=1024)
+    # greedy (K=1): 72 MB budget
+    assert _auto_block_b(2, Tc, _round_tile(184, 4), 256, 4, K=1, **kw) == 16
+    # beam: 88 MB budget; K=5 fits bb=16 at R=184 but not at R=300
+    assert _auto_block_b(2, Tc, _round_tile(184, 4), 256, 4, K=5, **kw) == 16
+    assert _auto_block_b(2, Tc, _round_tile(300, 4), 256, 4, K=5, **kw) == 8
+    assert _auto_block_b(2, Tc, _round_tile(300, 4), 256, 4, K=2, **kw) == 16
+    # an oversized config returns 0 -> the caller takes the XLA fallback
+    assert _auto_block_b(6, _round_tile(1000, 4), _round_tile(2000, 4),
+                         512, 4, V=5000, F=2048, K=5) == 0
