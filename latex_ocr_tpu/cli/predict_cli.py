@@ -64,7 +64,7 @@ def load_model(results: str):
     return model, restored
 
 
-def predict_image(model, params, img_path: str) -> str:
+def predict_image(model, params, img_path: str, with_score: bool = False):
     import jax.numpy as jnp
 
     from ..data.pipeline import snap_image_shape
@@ -73,6 +73,10 @@ def predict_image(model, params, img_path: str) -> str:
     H, W = snap_image_shape(img.shape[:2], None)
     batch = np.full((1, H, W, 1), 255, np.uint8)
     batch[0, : img.shape[0], : img.shape[1]] = img
+    if with_score:
+        ids, scores = model.decode_step_scored(params, jnp.asarray(batch))
+        return (model.ids_to_latex(np.asarray(ids)[0, 0]),
+                float(np.asarray(scores)[0, 0]))
     ids = model.decode_step(params, jnp.asarray(batch))
     return model.ids_to_latex(np.asarray(ids)[0, 0])
 
@@ -80,7 +84,11 @@ def predict_image(model, params, img_path: str) -> str:
 @click.command()
 @click.option("--results", default="results/full/")
 @click.option("--image", default=None, help="Decode one image and exit (no REPL)")
-def main(results: str, image: str | None) -> None:
+@click.option("--scores", is_flag=True,
+              help="Print the hypothesis confidence (sequence log-prob; "
+                   "beam re-rank score under length-norm re-ranking) "
+                   "before each hypothesis")
+def main(results: str, image: str | None, scores: bool) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
@@ -90,8 +98,12 @@ def main(results: str, image: str | None) -> None:
         path = path.strip()
         if path.endswith(".pdf"):
             path = _pdf_to_png(path)
-        hyp = predict_image(model, params, path)
-        click.echo(hyp)
+        if scores:
+            hyp, score = predict_image(model, params, path, with_score=True)
+            click.echo(f"{score:.4f}\t{hyp}")
+        else:
+            hyp = predict_image(model, params, path)
+            click.echo(hyp)
 
     if image is not None:
         handle(image)

@@ -456,6 +456,38 @@ class Img2SeqModel:
         return self._beam(params["decoder"], feat).ids
 
     @functools.partial(jax.jit, static_argnums=(0,))
+    def decode_step_scored(self, params: Dict, images: jnp.ndarray):
+        """Decode with per-hypothesis confidence scores.
+
+        Returns (ids (B, n_hyps, T), scores (B, n_hyps)) — scores are
+        total sequence log-probabilities up to and including END. Under
+        beam search they are the beam's final hypothesis scores exactly
+        as ranked (with `length_norm_alpha`/`coverage_beta` configured
+        these are the re-ranked scores, comparable within an image's
+        beam but not across lengths as raw log-probs). Under greedy the
+        decoded sequence is re-scored by one teacher-forced pass — the
+        exact log-prob the model assigns its own output (the decode
+        loops and megakernels track only argmax ids, so scoring costs
+        one extra forward rather than threading accumulators through
+        every kernel)."""
+        feat = encode(params["encoder"], images, self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
+        if self.decoding == "greedy":
+            ids = self._greedy(params["decoder"], feat)  # (B, T)
+            logits = self._tf_logits(params["decoder"], feat, ids)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+            is_end = (ids == self.id_end).astype(jnp.int32)
+            # count positions through the FIRST END (inclusive); later
+            # positions are decoder filler and must not affect the score
+            ended_before = jnp.cumsum(is_end, axis=1) - is_end
+            mask = (ended_before == 0).astype(jnp.float32)
+            scores = jnp.sum(tok_lp * mask, axis=1)
+            return ids[:, None, :], scores[:, None]
+        out = self._beam(params["decoder"], feat)
+        return out.ids, out.log_probs
+
+    @functools.partial(jax.jit, static_argnums=(0,))
     def decode_with_attention(self, params: Dict, images: jnp.ndarray):
         """Greedy decode returning (ids (B, T), attention (B, T, R))."""
         feat = encode(params["encoder"], images, self.config, self.compute_dtype)
@@ -473,11 +505,15 @@ class Img2SeqModel:
         )
 
     # --------------------------------------------------------- host utils
-    def predict_batch(self, params: Dict, images) -> list:
+    def predict_batch(self, params: Dict, images, with_scores: bool = False):
         """Decode a list of raw (H, W, 1) uint8 images.
 
         Returns hyps[rank][i] = LaTeX string — the reference's
-        predict_batch contract (img2seq.py:256-276).
+        predict_batch contract (img2seq.py:256-276). With
+        ``with_scores=True`` returns (hyps, scores) where
+        scores[rank][i] is the hypothesis confidence
+        (``decode_step_scored``: sequence log-prob; beam re-rank score
+        when length-norm/coverage re-ranking is configured).
         """
         import numpy as np
 
@@ -488,15 +524,29 @@ class Img2SeqModel:
         batch = np.full((len(images), H, W, 1), 255, np.uint8)
         for i, img in enumerate(images):
             batch[i, : img.shape[0], : img.shape[1]] = img
-        ids = np.asarray(self.decode_step(params, jnp.asarray(batch)))
+        if with_scores:
+            ids, scores = self.decode_step_scored(params, jnp.asarray(batch))
+            ids, scores = np.asarray(ids), np.asarray(scores)
+        else:
+            ids = np.asarray(self.decode_step(params, jnp.asarray(batch)))
         n_hyps = ids.shape[1]
-        return [
+        hyps = [
             [self.ids_to_latex(ids[b, k]) for b in range(len(images))]
             for k in range(n_hyps)
         ]
+        if with_scores:
+            return hyps, [
+                [float(scores[b, k]) for b in range(len(images))]
+                for k in range(n_hyps)
+            ]
+        return hyps
 
-    def predict(self, params: Dict, img) -> list:
-        """Decode one image; returns [best hyp, 2nd hyp, ...]."""
+    def predict(self, params: Dict, img, with_scores: bool = False):
+        """Decode one image; returns [best hyp, 2nd hyp, ...] (or
+        (hyps, scores) lists with ``with_scores=True``)."""
+        if with_scores:
+            hyps, scores = self.predict_batch(params, [img], with_scores=True)
+            return [h[0] for h in hyps], [s[0] for s in scores]
         hyps = self.predict_batch(params, [img])
         return [h[0] for h in hyps]
 

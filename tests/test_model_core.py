@@ -350,3 +350,70 @@ def test_coverage_beta_scores_differ(dec_params):
     assert np.all(np.asarray(cov.log_probs) < np.asarray(base.log_probs).max() + 1e-6)
     lp = np.asarray(cov.log_probs)
     assert np.all(np.diff(lp, axis=1) <= 1e-6)
+
+
+def test_decode_step_scored_greedy_and_beam():
+    """decode_step_scored: greedy scores are the exact teacher-forced
+    log-prob of the decoded sequence up to the first END; beam scores are
+    the ranked BeamOutput scores (descending, finite)."""
+    import jax
+    import numpy as np
+
+    from latex_ocr_tpu.models.img2seq import Img2SeqModel
+    from latex_ocr_tpu.utils import Config
+
+    class _V:
+        tok_to_id = {f"t{i}": i for i in range(8)}
+        id_to_tok = {i: f"t{i}" for i in range(8)}
+        n_tok, id_unk, id_pad, id_end = 8, 5, 6, 7
+
+    base = {
+        "encoder_cnn": "vanilla", "positional_embeddings": True,
+        "attn_cell_config": {"cell_type": "lstm", "num_units": 16, "dim_e": 8,
+                              "dim_o": 16, "dim_embeddings": 8},
+        "div_gamma": 1, "div_prob": 0, "max_length_formula": 8,
+    }
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(
+        rng.integers(0, 256, size=(2, 40, 48, 1)).astype(np.uint8))
+
+    # greedy: score == manual masked log-softmax gather on the same ids
+    model = Img2SeqModel(Config(dict(base, decoding="greedy")), _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    ids, scores = model.decode_step_scored(params, images)
+    ids, scores = np.asarray(ids), np.asarray(scores)
+    assert ids.shape[:2] == (2, 1) and scores.shape == (2, 1)
+
+    from latex_ocr_tpu.models.encoder import encode
+
+    feat = encode(params["encoder"], images, model.config, model.compute_dtype)
+    logits = np.asarray(model._tf_logits(
+        params["decoder"], feat.astype(model.decoder_dtype),
+        jnp.asarray(ids[:, 0])).astype(jnp.float32))
+    logp = logits - np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(
+        -1, keepdims=True)) - logits.max(-1, keepdims=True)
+    for b in range(2):
+        total, done = 0.0, False
+        for t, tok in enumerate(ids[b, 0]):
+            if done:
+                break
+            total += logp[b, t, tok]
+            done = tok == _V.id_end
+        np.testing.assert_allclose(scores[b, 0], total, rtol=1e-4, atol=1e-4)
+
+    # beam: (B, K) scores, best first, finite
+    model_b = Img2SeqModel(
+        Config(dict(base, decoding="beam_search", beam_size=3)), _V())
+    params_b = model_b.init_params(jax.random.PRNGKey(0))
+    ids_b, scores_b = model_b.decode_step_scored(params_b, images)
+    scores_b = np.asarray(scores_b)
+    assert np.asarray(ids_b).shape[:2] == (2, 3) and scores_b.shape == (2, 3)
+    assert np.all(np.isfinite(scores_b))
+    assert np.all(np.diff(scores_b, axis=1) <= 1e-6)  # descending
+
+    # predict_batch surfaces the same thing
+    hyps, s = model_b.predict_batch(
+        params_b, [np.asarray(images[0]), np.asarray(images[1])],
+        with_scores=True)
+    assert len(hyps) == 3 and len(s) == 3 and len(s[0]) == 2
+    assert s[0][0] >= s[1][0] >= s[2][0]
