@@ -63,7 +63,14 @@ class LatexOCRServer:
         warmup: bool = False,
         models: Optional[Dict[str, Tuple[object, object]]] = None,
         quotas: Optional[Dict[str, float]] = None,
+        with_scores: bool = False,
     ):
+        # with_scores=True resolves every Future to (latex, score) instead
+        # of the bare string — score per Img2SeqModel.decode_step_scored
+        # (sequence log-prob; beam re-rank score when re-ranking is on).
+        # Server-wide so every (model, bucket) program is the scored one:
+        # a per-request flag would double the compiled-program count.
+        self.with_scores = bool(with_scores)
         if models is None:
             if model is None:
                 raise ValueError("pass either (model, params) or models={...}")
@@ -128,12 +135,17 @@ class LatexOCRServer:
             for H, W in shapes:
                 for C in channels:
                     dummy = jnp.full((self.max_batch, H, W, C), 255, jnp.uint8)
-                    np.asarray(model.decode_step(params, dummy))  # sync
+                    if self.with_scores:  # warm the program serving will run
+                        ids, _ = model.decode_step_scored(params, dummy)
+                        np.asarray(ids)  # sync
+                    else:
+                        np.asarray(model.decode_step(params, dummy))  # sync
                     n += 1
         return n
 
     def submit(self, image: np.ndarray, model: Optional[str] = None) -> Future:
-        """Queue a raw (H, W[, 1|3]) uint8 image; resolves to a LaTeX string.
+        """Queue a raw (H, W[, 1|3]) uint8 image; resolves to a LaTeX string
+        (or to ``(latex, score)`` on a ``with_scores=True`` server).
 
         The request path does NO host pixel math: RGB inputs go to the
         device as-is and the luma greyscale + normalize run fused inside
@@ -266,10 +278,17 @@ class LatexOCRServer:
             h, w = r.image.shape[:2]
             batch[i, :h, :w] = r.image
         try:
-            ids = np.asarray(model.decode_step(params, jnp.asarray(batch)))
+            if self.with_scores:
+                ids, scores = model.decode_step_scored(params, jnp.asarray(batch))
+                ids, scores = np.asarray(ids), np.asarray(scores)
+            else:
+                ids = np.asarray(model.decode_step(params, jnp.asarray(batch)))
             t_done = time.perf_counter()
             for i, r in enumerate(reqs):
-                r.future.set_result(model.ids_to_latex(ids[i, 0]))
+                latex = model.ids_to_latex(ids[i, 0])
+                r.future.set_result(
+                    (latex, float(scores[i, 0])) if self.with_scores else latex
+                )
                 self.stats.append((r.t_submit, t_done - r.t_submit))
         except Exception as e:  # pragma: no cover - propagate to callers
             for r in reqs:

@@ -328,3 +328,36 @@ def test_feature_map_dump(tmp_path):
     paths = dump_feature_maps(params, img, cfg, str(tmp_path / "fm"))
     assert len(paths) == 6  # one per conv stage
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_serving_with_scores():
+    """with_scores=True: every Future resolves to (latex, score) — score
+    is a finite sequence log-prob (<= 0 up to fp rounding)."""
+    from latex_ocr_tpu.serving import LatexOCRServer
+
+    class _V:
+        n_tok, id_end, id_pad, id_unk = 9, 8, 7, 6
+        id_to_tok = {i: f"t{i}" for i in range(9)}
+        tok_to_id = {f"t{i}": i for i in range(9)}
+
+    cfg = Config({
+        "encoder_cnn": "vanilla", "positional_embeddings": False,
+        "attn_cell_config": ATTN_SMALL, "decoding": "greedy",
+        "max_length_formula": 4,
+    })
+    model = Img2SeqModel(cfg, _V())
+    params = model.init_params(jax.random.PRNGKey(0))
+    server = LatexOCRServer(model, params, buckets=[[96, 96]], max_batch=4,
+                            max_wait_ms=5, with_scores=True, warmup=True)
+    try:
+        rng = np.random.default_rng(2)
+        futures = [
+            server.submit(rng.integers(0, 255, (40, 44, 1)).astype(np.uint8))
+            for _ in range(3)
+        ]
+        for f in futures:
+            latex, score = f.result(timeout=120)
+            assert isinstance(latex, str)
+            assert np.isfinite(score) and score <= 1e-4
+    finally:
+        server.close()
