@@ -65,3 +65,35 @@ def test_trainer_dp_mesh_epoch(mini_dataset, tmp_path):
     # params ended replicated across the mesh
     leaf = jax.tree_util.tree_leaves(trainer._final_params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_trainer_dp_mesh_with_ema(mini_dataset, tmp_path):
+    """EMA under a DP mesh: the donated _ema_step buffers and the
+    jnp.copy seed must preserve the replicated sharding, and the
+    published (_final_params) weights are the EMA tree."""
+    mesh = make_mesh(jax.devices()[:8])
+    vocab = Vocab(Config({"unk": "_UNK", "pad": "_PAD", "end": "_END",
+                          "path_vocab": mini_dataset["path_vocab"]}))
+    config = Config(dict(
+        TINY, batch_size=8, n_epochs=1, dropout=1.0, clip=-1,
+        lr_method="adam", buckets=mini_dataset["buckets"], seed=0,
+        ema_decay=0.9, update_clip=1.0,
+    ))
+    model = Img2SeqModel(config, vocab)
+    trainer = Trainer(model, config, str(tmp_path) + "/run/", mesh=mesh)
+
+    def ds(split):
+        return DataGenerator(
+            mini_dataset[f"path_formulas_{split}"],
+            mini_dataset[f"dir_images_{split}"],
+            mini_dataset[f"path_matching_{split}"],
+            img_prepro=default_img_prepro, form_prepro=vocab.form_prepro,
+            bucket=True, bucket_size=8, max_len=20,
+        )
+
+    best = trainer.train(ds("train"), ds("val"), LRSchedule(lr_init=1e-3))
+    assert best is not None and np.isfinite(best)
+    # the published weights stay replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(trainer._final_params)[0]
+    assert len(leaf.sharding.device_set) == 8
