@@ -26,8 +26,13 @@ from .common import build_dataset, compute_dtype_from, make_vocab
               help="override GNMT length-norm alpha")
 @click.option("--coverage-beta", default=None, type=float,
               help="override GNMT coverage-penalty beta (attn_lstm beams)")
+@click.option("--scores", is_flag=True,
+              help="collect per-hypothesis confidences: writes "
+                   "hyp_0.scores.txt next to the answers and reports the "
+                   "selective-prediction table (EM at confidence coverage "
+                   "100/90/75/50% — the rejection-threshold operating curve)")
 def main(results: str, batch_size: int, decoding, beam_size,
-         length_norm_alpha, coverage_beta) -> None:
+         length_norm_alpha, coverage_beta, scores: bool) -> None:
     from ..utils.jax_setup import setup_jax
 
     setup_jax()
@@ -56,8 +61,10 @@ def main(results: str, batch_size: int, decoding, beam_size,
 
     test_set = build_dataset(config, vocab, "test")
     trainer = Trainer(model, config, results)
-    scores = trainer.evaluate(params, test_set, os.path.join(results, "formulas_test/"))
-    for k, v in scores.items():
+    report = trainer.evaluate(params, test_set,
+                              os.path.join(results, "formulas_test/"),
+                              with_scores=scores)
+    for k, v in report.items():
         click.echo(f"{k} = {v:.2f}")
 
 

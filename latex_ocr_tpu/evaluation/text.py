@@ -105,3 +105,43 @@ def write_answers(
                 f.write(to_str(hyp) + "\n")
         paths.append(path)
     return paths
+
+
+def selective_report(
+    path_ref: str, path_hyp: str, scores: Sequence[float]
+) -> Dict[str, float]:
+    """Selective-prediction report: quality when low-confidence outputs
+    are rejected.
+
+    ``scores`` are per-line confidences (``decode_step_scored``: sequence
+    log-probs, or beam re-rank scores), aligned with the ref/hyp files.
+    Sorting by confidence descending, ``EM_cov{P}`` is the exact-match
+    rate among the top P% most-confident predictions — the operating
+    curve a production deployment reads to pick a rejection threshold
+    ("accept the top 90%, route the rest to review"). Also reports the
+    mean confidence of correct vs incorrect lines (separation is what
+    makes rejection work) and the confidence threshold at each coverage.
+    """
+    import numpy as np
+
+    with open(path_ref) as f:
+        refs = [line.strip() for line in f]
+    with open(path_hyp) as f:
+        hyps = [line.strip() for line in f]
+    scores = np.asarray(list(scores), dtype=np.float64)
+    assert len(refs) == len(hyps) == len(scores), (
+        len(refs), len(hyps), len(scores))
+    correct = np.array([r == h for r, h in zip(refs, hyps)], dtype=bool)
+    order = np.argsort(-scores)
+    out: Dict[str, float] = {}
+    n = len(refs)
+    for pct in (100, 90, 75, 50):
+        k = max(1, int(round(n * pct / 100.0)))
+        top = order[:k]
+        out[f"EM_cov{pct}"] = 100.0 * float(correct[top].mean())
+        out[f"conf_at_cov{pct}"] = float(scores[order[k - 1]])
+    if correct.any():
+        out["conf_correct_mean"] = float(scores[correct].mean())
+    if (~correct).any():
+        out["conf_wrong_mean"] = float(scores[~correct].mean())
+    return out

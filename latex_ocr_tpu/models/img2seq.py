@@ -362,6 +362,31 @@ class Img2SeqModel:
             ids = self._beam(params["decoder"], feat).ids
         return {"loss": loss, "ce_words": ce_words, "n_words": n_words}, ids
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def eval_decode_step_scored(self, params: Dict, batch: Dict[str, jnp.ndarray]):
+        """`eval_decode_step` plus per-hypothesis confidences (B, n_hyps).
+
+        Beam scores are free (the search already ranks with them); the
+        greedy path pays one teacher-forced rescoring forward — same
+        contract as `decode_step_scored`."""
+        feat = encode(params["encoder"], batch["image"], self.config, self.compute_dtype)
+        feat = feat.astype(self.decoder_dtype)
+        logits = self._tf_logits(params["decoder"], feat, batch["formula"])
+        loss, ce_words, n_words = masked_ce_loss(logits, batch["formula"], batch["length"])
+        metrics = {"loss": loss, "ce_words": ce_words, "n_words": n_words}
+        if self.decoding == "greedy":
+            ids = self._greedy(params["decoder"], feat)  # (B, T)
+            h_logits = self._tf_logits(params["decoder"], feat, ids)
+            logp = jax.nn.log_softmax(h_logits.astype(jnp.float32), axis=-1)
+            tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+            is_end = (ids == self.id_end).astype(jnp.int32)
+            ended_before = jnp.cumsum(is_end, axis=1) - is_end
+            mask = (ended_before == 0).astype(jnp.float32)
+            scores = jnp.sum(tok_lp * mask, axis=1)
+            return metrics, ids[:, None, :], scores[:, None]
+        out = self._beam(params["decoder"], feat)
+        return metrics, out.ids, out.log_probs
+
     def _greedy(self, dec_params: Dict, feat: jnp.ndarray) -> jnp.ndarray:
         """Greedy ids (B, T): megakernel on TPU, XLA while_loop elsewhere."""
         if self.decoder_arch == "transformer":

@@ -388,11 +388,16 @@ class Trainer:
             )
         return self._xla_decode_model
 
-    def evaluate(self, params, test_set, dir_answers: str) -> Dict[str, float]:
+    def evaluate(self, params, test_set, dir_answers: str,
+                 with_scores: bool = False) -> Dict[str, float]:
         """Decode a labelled set, write ref/hyp files, compute metrics.
 
         Returns text metrics plus ``perplexity`` (positive, reported) and
-        ``perplexity_score`` (sign-flipped, for model selection).
+        ``perplexity_score`` (sign-flipped, for model selection). With
+        ``with_scores=True`` the decode also collects per-hypothesis
+        confidences, writes ``hyp_0.scores.txt`` next to the answers, and
+        adds the selective-prediction report (EM at confidence coverage
+        100/90/75/50% — evaluation.text.selective_report) to the result.
         """
         model = self._xla_decode_model or self.model
         config = self.config
@@ -402,30 +407,48 @@ class Trainer:
         n_hyps = model.beam_size if model.decoding == "beam_search" else 1
         refs: list = []
         hyps: list = [[] for _ in range(n_hyps)]
+        confs: list = []
         ce_total = 0.0
         n_total = 0
+
+        def decode(m, batch):
+            if with_scores:
+                return m.eval_decode_step_scored(params, batch)
+            metrics, ids = m.eval_decode_step(params, batch)
+            return metrics, ids, None
 
         for batch in pipeline:
             n_real = int(batch.pop("n_real"))
             try:
-                metrics, ids = model.eval_decode_step(params, batch)  # (B, n_hyps, T)
+                metrics, ids, sc = decode(model, batch)  # ids (B, n_hyps, T)
             except Exception as e:  # noqa: BLE001 — compile-time only, re-raised below
                 model = self._decode_fallback_model(e)
-                metrics, ids = model.eval_decode_step(params, batch)
+                metrics, ids, sc = decode(model, batch)
             ce_total += float(metrics["ce_words"])
             n_total += int(metrics["n_words"])
             ids = np.asarray(ids)
             formula = np.asarray(batch["formula"])
             lengths = np.asarray(batch["length"])
+            if sc is not None:
+                sc = np.asarray(sc)
             for b in range(n_real):
                 refs.append(formula[b, : lengths[b] - 1].tolist())  # strip END
                 for k in range(n_hyps):
                     hyps[k].append(ids[b, k].tolist())
+                if sc is not None:
+                    confs.append(float(sc[b, 0]))
 
         files = write_answers(
             refs, hyps, model.vocab.id_to_tok, dir_answers, model.vocab.id_end
         )
         scores = score_files(files[0], files[1])
+        if with_scores:
+            from ..evaluation.text import selective_report
+
+            with open(os.path.join(dir_answers, "hyp_0.scores.txt"), "w") as f:
+                for s in confs:
+                    f.write(f"{s:.6f}\n")
+            scores.update(selective_report(files[0], files[1], confs))
         perp = float(np.exp(ce_total / max(1, n_total)))
         scores["perplexity"] = perp
         scores["perplexity_score"] = -perp

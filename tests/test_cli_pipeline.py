@@ -127,6 +127,23 @@ def test_evaluate_txt_cli(small_run):
     assert os.path.exists(os.path.join(answers, "hyp_0.txt"))
 
 
+def test_evaluate_txt_cli_scores(small_run):
+    # --scores: confidence artifact + selective-prediction report
+    proc = _run(["evaluate_txt.py", "--results", small_run["results"],
+                 "--batch_size", "8", "--scores"], cwd=REPO)
+    out = proc.stdout
+    assert "EM_cov100" in out and "EM_cov50" in out
+    answers = os.path.join(small_run["results"], "formulas_test")
+    scores_path = os.path.join(answers, "hyp_0.scores.txt")
+    assert os.path.exists(scores_path)
+    with open(scores_path) as f:
+        scores = [float(line) for line in f]
+    with open(os.path.join(answers, "hyp_0.txt")) as f:
+        n_hyps = sum(1 for _ in f)
+    assert len(scores) == n_hyps
+    assert all(s <= 1e-4 for s in scores)  # log-probs
+
+
 def test_evaluate_txt_cli_decode_overrides(small_run):
     # decode-quality overrides re-decode the run without editing the
     # snapshot: beam-2 with length norm + coverage re-rank

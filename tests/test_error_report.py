@@ -71,3 +71,27 @@ def test_truncated_hyp_artifact_is_flagged(tmp_path):
     )
     assert r["n"] == 1 and r["dropped_unpaired_lines"] == 3
     assert "WARNING" in format_report(r)
+
+
+def test_selective_report_math(tmp_path):
+    """EM at confidence coverage: sorting by score descending, coverage-P
+    EM counts only the top P% — the rejection operating curve."""
+    from latex_ocr_tpu.evaluation.text import selective_report
+
+    refs = ["a b", "c d", "e f", "g h"]
+    hyps = ["a b", "c d", "x x", "y y"]  # first two correct
+    # confidences separate correct (high) from wrong (low), one inversion
+    scores = [-0.1, -0.3, -0.2, -5.0]
+    rp = tmp_path / "ref.txt"
+    hp = tmp_path / "hyp.txt"
+    rp.write_text("\n".join(refs) + "\n")
+    hp.write_text("\n".join(hyps) + "\n")
+    rep = selective_report(str(rp), str(hp), scores)
+    assert rep["EM_cov100"] == 50.0
+    # top 50% by score = lines 0 (-0.1) and 2 (-0.2): one correct
+    assert rep["EM_cov50"] == 50.0
+    # top 75% = lines 0, 2, 1 -> 2/3 correct
+    assert abs(rep["EM_cov75"] - 100.0 * 2 / 3) < 1e-9
+    assert rep["conf_correct_mean"] == (-0.1 - 0.3) / 2
+    assert rep["conf_wrong_mean"] == (-0.2 - 5.0) / 2
+    assert rep["conf_at_cov50"] == -0.2
