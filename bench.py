@@ -236,15 +236,18 @@ if __name__ == "__main__":
     import sys
 
     argv = sys.argv[1:]
-    if "--devices" in argv:
-        i = argv.index("--devices")
-        main_dp_scaling(int(argv[i + 1]))
-        sys.exit(0)
     batch = 256
     if "--batch" in argv:
         i = argv.index("--batch")
         batch = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    if "--devices" in argv:
+        if batch != 256:
+            print("note: --batch is ignored with --devices (the DP-scaling "
+                  "bench uses a fixed per-chip batch)", file=sys.stderr)
+        i = argv.index("--devices")
+        main_dp_scaling(int(argv[i + 1]))
+        sys.exit(0)
     tf_cfg = None
     if "--transformer-config" in argv:
         i = argv.index("--transformer-config")

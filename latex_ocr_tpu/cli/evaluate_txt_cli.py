@@ -65,7 +65,9 @@ def main(results: str, batch_size: int, decoding, beam_size,
                               os.path.join(results, "formulas_test/"),
                               with_scores=scores)
     for k, v in report.items():
-        click.echo(f"{k} = {v:.2f}")
+        # confidence thresholds are log-probs often in (-0.01, 0); two
+        # decimals would render every one as "-0.00"
+        click.echo(f"{k} = {v:.6f}" if k.startswith("conf") else f"{k} = {v:.2f}")
 
 
 if __name__ == "__main__":

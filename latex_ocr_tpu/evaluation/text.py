@@ -131,6 +131,8 @@ def selective_report(
     scores = np.asarray(list(scores), dtype=np.float64)
     assert len(refs) == len(hyps) == len(scores), (
         len(refs), len(hyps), len(scores))
+    if len(refs) == 0:
+        return {}
     correct = np.array([r == h for r, h in zip(refs, hyps)], dtype=bool)
     order = np.argsort(-scores)
     out: Dict[str, float] = {}

@@ -376,14 +376,8 @@ class Img2SeqModel:
         metrics = {"loss": loss, "ce_words": ce_words, "n_words": n_words}
         if self.decoding == "greedy":
             ids = self._greedy(params["decoder"], feat)  # (B, T)
-            h_logits = self._tf_logits(params["decoder"], feat, ids)
-            logp = jax.nn.log_softmax(h_logits.astype(jnp.float32), axis=-1)
-            tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
-            is_end = (ids == self.id_end).astype(jnp.int32)
-            ended_before = jnp.cumsum(is_end, axis=1) - is_end
-            mask = (ended_before == 0).astype(jnp.float32)
-            scores = jnp.sum(tok_lp * mask, axis=1)
-            return metrics, ids[:, None, :], scores[:, None]
+            return (metrics, ids[:, None, :],
+                    self._greedy_scores(params, feat, ids)[:, None])
         out = self._beam(params["decoder"], feat)
         return metrics, out.ids, out.log_probs
 
@@ -499,18 +493,25 @@ class Img2SeqModel:
         feat = feat.astype(self.decoder_dtype)
         if self.decoding == "greedy":
             ids = self._greedy(params["decoder"], feat)  # (B, T)
-            logits = self._tf_logits(params["decoder"], feat, ids)
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
-            is_end = (ids == self.id_end).astype(jnp.int32)
-            # count positions through the FIRST END (inclusive); later
-            # positions are decoder filler and must not affect the score
-            ended_before = jnp.cumsum(is_end, axis=1) - is_end
-            mask = (ended_before == 0).astype(jnp.float32)
-            scores = jnp.sum(tok_lp * mask, axis=1)
-            return ids[:, None, :], scores[:, None]
+            return ids[:, None, :], self._greedy_scores(params, feat, ids)[:, None]
         out = self._beam(params["decoder"], feat)
         return out.ids, out.log_probs
+
+    def _greedy_scores(self, params: Dict, feat: jnp.ndarray,
+                       ids: jnp.ndarray) -> jnp.ndarray:
+        """Sequence log-prob (B,) of greedy ids via one teacher-forced
+        rescoring pass — shared by decode_step_scored and
+        eval_decode_step_scored so eval and serving confidences cannot
+        drift."""
+        logits = self._tf_logits(params["decoder"], feat, ids)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        tok_lp = jnp.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+        is_end = (ids == self.id_end).astype(jnp.int32)
+        # count positions through the FIRST END (inclusive); later
+        # positions are decoder filler and must not affect the score
+        ended_before = jnp.cumsum(is_end, axis=1) - is_end
+        mask = (ended_before == 0).astype(jnp.float32)
+        return jnp.sum(tok_lp * mask, axis=1)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def decode_with_attention(self, params: Dict, images: jnp.ndarray):

@@ -886,7 +886,13 @@ def transformer_decode_beam_megakernel(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the physical v5e VMEM: the 88 MB data budget (_auto_block_b)
+            # admits mid-band shapes whose data + fp32 attention
+            # transients can exceed a 100 MB scoped cap while fitting the
+            # hardware — give Mosaic the real capacity and let the budget
+            # math (plus trainer._decode_fallback_model on the eval path)
+            # govern
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

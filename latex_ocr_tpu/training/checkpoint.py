@@ -65,22 +65,26 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        # target preference order: with raw_params if the caller wants it,
-        # then without; full extra template, then empty
-        shapes = ([True, False] if raw_like is not None else [False])
+        # target preference order: with raw_params first when the caller
+        # wants it, but ALWAYS also try the with-raw shape using
+        # params_like as the template — a checkpoint written by an EMA run
+        # must restore when the resume has ema_decay off (the raw tree is
+        # simply discarded by the caller), not crash on an orbax structure
+        # mismatch. Within each shape: full extra template, then empty.
+        shapes = [raw_like, None] if raw_like is not None else [None, params_like]
         attempts = [
-            (want_raw, extra_target)
-            for want_raw in shapes
+            (raw_tmpl, extra_target)
+            for raw_tmpl in shapes
             for extra_target in ((extra_like or {}), {})
         ]
-        for i, (want_raw, extra_target) in enumerate(attempts):
+        for i, (raw_tmpl, extra_target) in enumerate(attempts):
             target = {
                 "params": params_like,
                 "opt_state": opt_state_like,
                 "extra": extra_target,
             }
-            if want_raw:
-                target["raw_params"] = raw_like
+            if raw_tmpl is not None:
+                target["raw_params"] = raw_tmpl
             try:
                 restored = self._mgr.restore(
                     step, args=ocp.args.StandardRestore(target)
@@ -94,7 +98,7 @@ class CheckpointManager:
                 restored["opt_state"],
                 restored.get("extra", {}) or {},
                 step,
-                restored.get("raw_params"),
+                restored.get("raw_params") if raw_like is not None else None,
             )
         return None  # unreachable: the last attempt either returns or raises
 

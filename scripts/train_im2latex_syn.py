@@ -112,6 +112,11 @@ ap.add_argument("--devices", default="auto",
                 help="data-parallel mesh: 'auto' = all visible chips, '1' "
                      "opts out, 'N' = first N devices (parallel/mesh.py)")
 args = ap.parse_args()
+if args.spike_guard and args.converge_cap is not None:
+    ap.error("--spike-guard and --converge-cap are mutually exclusive "
+             "(both configure the trainer's single spike_guard slot)")
+if args.converge_cap is not None and args.converge_cap <= 0:
+    ap.error("--converge-cap must be > 0")
 
 from latex_ocr_tpu.parallel.mesh import auto_mesh, batch_sharding, round_batch_to_mesh
 mesh = auto_mesh(args.devices)

@@ -451,3 +451,13 @@ def test_checkpoint_raw_params_roundtrip(tmp_path):
     p2, _, _, epoch2, r2 = got2
     assert epoch2 == 4 and r2 is None
     np.testing.assert_array_equal(np.asarray(p2["w"]), 2.0)
+
+    # the symmetric case: an EMA-written checkpoint restored WITHOUT
+    # raw_like (resume with ema_decay off) must not crash — the raw tree
+    # is silently discarded and the published params come back
+    ckpt3 = CheckpointManager(str(tmp_path / "ck"))
+    got3 = ckpt3.restore(ema, opt)  # no raw_like
+    ckpt3.close()
+    p3, _, _, epoch3, r3 = got3
+    assert epoch3 == 1 and r3 is None
+    np.testing.assert_array_equal(np.asarray(p3["w"]), 2.0)
