@@ -187,10 +187,18 @@ def render_formula_array(formula: str, handwritten=False, seed: int = 0) -> np.n
     jitter, variable advance, stroke dropout, background speckle);
     "stroke" = the pen-trajectory handwriting renderer
     (`render_stroke_formula_array`) — CROHME-style smooth strokes
-    (BASELINE.json config #4).
+    (BASELINE.json config #4);
+    "layout" = the 2-D structural layout renderer (`data/layout.py`):
+    \\frac/^/_/\\sqrt/arrays laid out as TeX boxes, so the decoder must
+    serialize 2-D structure — the behavior real pdflatex rasters have
+    (reference model/utils/image.py:164-207).
     """
     if handwritten == "stroke":
         return render_stroke_formula_array(formula, seed=seed)
+    if handwritten == "layout":
+        from .layout import render_layout_formula_array
+
+        return render_layout_formula_array(formula, seed=seed)
     tokens = [t for t in formula.strip().split(" ") if t]
     if not tokens:
         tokens = ["?"]
@@ -265,13 +273,24 @@ def make_synthetic_dataset(
     seed: int = 0,
     buckets: Optional[Sequence[Sequence[int]]] = None,
     n_threads: int = 4,
-    handwritten=False,  # False | True/'jitter' | 'stroke'
+    handwritten=False,  # False | True/'jitter' | 'stroke' | 'layout'
+    structured: bool = False,
 ) -> dict:
     """Generate a complete small dataset (formulas + images + matching +
-    vocab) under ``out_dir``. Returns the path dict used to build configs."""
+    vocab) under ``out_dir``. Returns the path dict used to build configs.
+
+    ``structured=True`` samples grammatically valid 2-D structures
+    (balanced braces, \\frac/^/_/\\sqrt/limits — layout.py
+    sample_structured_formula) with uniform-random leaves instead of flat
+    uniform token strings: the grounding-phase analogue for the 'layout'
+    raster, where structural tokens must be inferred from geometry rather
+    than read as glyphs."""
     import os
 
     from .render import build_images
+
+    if structured:
+        from .layout import is_structural, sample_structured_formula
 
     if vocab_tokens is None:
         vocab_tokens = [
@@ -283,11 +302,18 @@ def make_synthetic_dataset(
     os.makedirs(out_dir, exist_ok=True)
 
     paths: dict = {}
+    leaves = None
+    if structured:
+        leaves = [t for t in vocab_tokens if not is_structural(t)] or ["x"]
     for split, n in (("train", n_train), ("val", n_val), ("test", n_test)):
         formulas = []
         for _ in range(n):
-            length = int(rng.integers(min_len, max_len + 1))
-            formulas.append(" ".join(rng.choice(vocab_tokens, size=length)))
+            if structured:
+                formulas.append(sample_structured_formula(
+                    leaves, rng, min_len=min_len, max_len=max_len))
+            else:
+                length = int(rng.integers(min_len, max_len + 1))
+                formulas.append(" ".join(rng.choice(vocab_tokens, size=length)))
         formulas_path = os.path.join(out_dir, f"{split}.formulas.norm.txt")
         with open(formulas_path, "w") as f:
             f.write("\n".join(formulas) + "\n")

@@ -35,6 +35,17 @@ BUCKETS = [
     [2000, 200], [2400, 200],
 ]
 
+# --style layout table: 2-D structural renders are much more compact than
+# glyph rows (scripts shrink, fractions stack) — measured over 800 real
+# formulas: W p50/p99/max = 419/894/1081, H = 61/104/167 (crop+2x8 pad).
+# This 15-bucket table was waste-optimized against that distribution
+# (38% padding waste, 0 over-size drops; the 1-D table would waste 64%).
+BUCKETS_2D = [
+    [200, 60], [280, 70], [360, 70], [360, 110], [440, 80], [520, 80],
+    [520, 120], [600, 90], [680, 90], [760, 100], [840, 100], [920, 110],
+    [1000, 120], [1100, 140], [1200, 200],
+]
+
 
 @click.command()
 @click.option("--source", default="/root/reference/data",
@@ -74,6 +85,15 @@ BUCKETS = [
                    "without END) — more long-row attention exposure is the "
                    "data-side lever. Composes with --rare-boost "
                    "(weights multiply).")
+@click.option("--style", default="flat",
+              type=click.Choice(["flat", "layout"]),
+              help="raster style: 'flat' = 1-D glyph rows (the r1-r4 "
+                   "proxy); 'layout' = the 2-D structural TeX box renderer "
+                   "(data/layout.py) — \\frac/^/_/\\sqrt/arrays laid out "
+                   "the way real pdflatex rasters are, so the decoder must "
+                   "serialize 2-D structure. Selects the waste-optimized "
+                   "BUCKETS_2D table and structure-aware augmentation "
+                   "(leaf-only shuffle, leaf-only OOV injection).")
 @click.option("--augment-mode", default="trigram",
               type=click.Choice(["trigram", "shuffle"]),
               help="trigram: n-gram LM samples (real-looking grammar — but "
@@ -84,12 +104,17 @@ BUCKETS = [
                    "structure, so the only way to reduce loss on augmented "
                    "samples is to read the pixels (mirrors why the "
                    "random-token synth task grounds reliably).")
-def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
-         oov_inject, rare_boost, length_boost, augment_mode):
+def main(source, out, n_val, n_test, max_len, n_threads, style,
+         augment_ngram, oov_inject, rare_boost, length_boost, augment_mode):
     from collections import Counter
 
     from latex_ocr_tpu.data.render import build_images
     from latex_ocr_tpu.data.vocab import pad_vocab, write_vocab
+
+    buckets = BUCKETS_2D if style == "layout" else BUCKETS
+    raster = "layout" if style == "layout" else False
+    if style == "layout":
+        from latex_ocr_tpu.data.layout import leaf_positions, structural_shuffle
 
     src_val = os.path.join(source, "val.formulas.norm.txt")
     src_test = os.path.join(source, "test.formulas.norm.txt")
@@ -171,7 +196,15 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                     src = train_formulas[min(idx, len(train_formulas) - 1)]
                 else:
                     src = train_formulas[int(rng.integers(0, len(train_formulas)))]
-                toks = list(rng.permutation(src.split()))
+                if style == "layout":
+                    # 2-D raster: structural tokens carry no ink — a blind
+                    # permutation scatters { } ^ _ into pixel-unrecoverable
+                    # positions (irreducible-loss noise). Permute only the
+                    # visible leaves: token multiset unchanged, n-gram
+                    # shortcut destroyed, structure stays renderable.
+                    toks = structural_shuffle(src, rng).split()
+                else:
+                    toks = list(rng.permutation(src.split()))
             else:
                 L = int(lengths[int(rng.integers(0, len(lengths)))])
                 toks = [str(rng.choice(uni_toks, p=uni_p))]
@@ -187,8 +220,17 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                         nxt = str(rng.choice(uni_toks, p=uni_p))
                     toks.append(nxt)
             if oov_inject and rng.random() < oov_inject:
+                if style == "layout":
+                    # only replace visible leaves — swapping a structural
+                    # token for an OOV glyph would change the 2-D layout
+                    # itself, not just one glyph
+                    cand = leaf_positions(toks)
+                else:
+                    cand = list(range(len(toks)))
                 for j in range(int(rng.integers(1, 4))):
-                    pos = int(rng.integers(0, len(toks)))
+                    if not cand:
+                        break
+                    pos = int(cand[int(rng.integers(0, len(cand)))])
                     toks[pos] = (
                         f"oov{len(sampled)}_{j}_{int(rng.integers(0, 1 << 20)):05x}"
                     )
@@ -218,7 +260,20 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
         if os.path.exists(fpath):
             with open(fpath) as f:
                 old_content = f.read()
-        if old_content is not None and old_content != new_content:
+        # the raster style is part of the content identity too: the same
+        # formula list re-rendered with a different --style must not reuse
+        # the other style's PNGs (sentinel file, NOT a line in the formulas
+        # file — line numbers there are the matching-file contract)
+        style_path = os.path.join(out, f".{split}.style")
+        old_style = None
+        if os.path.exists(style_path):
+            with open(style_path) as f:
+                old_style = f.read().strip()
+        elif old_content is not None:
+            old_style = "flat"  # pre-sentinel builds were all flat
+        if old_content is not None and (
+            old_content != new_content or old_style != style
+        ):
             import shutil
 
             click.echo(f"{split}: formula list changed since last build — "
@@ -228,10 +283,12 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
                 shutil.rmtree(stale, ignore_errors=True)
         with open(fpath, "w") as f:
             f.write(new_content)
+        with open(style_path, "w") as f:
+            f.write(style + "\n")
         dir_images = os.path.join(out, f"images_{split}/")
         result = build_images(
-            dict(enumerate(formulas)), dir_images, buckets=BUCKETS,
-            n_threads=n_threads, force_synthetic=True,
+            dict(enumerate(formulas)), dir_images, buckets=buckets,
+            n_threads=n_threads, force_synthetic=True, handwritten=raster,
         )
         with open(os.path.join(out, f"{split}.matching.txt"), "w") as f:
             for path_img, idx in sorted(result, key=lambda r: r[1]):
@@ -252,7 +309,7 @@ def main(source, out, n_val, n_test, max_len, n_threads, augment_ngram,
     click.echo(f"vocab: {len(vocab)} tokens (min_count=10, padded to 128-lane)")
 
     with open(os.path.join(out, "buckets.json"), "w") as f:
-        json.dump(BUCKETS, f)
+        json.dump(buckets, f)
     click.echo("done")
 
 
