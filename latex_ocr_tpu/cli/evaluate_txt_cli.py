@@ -13,7 +13,7 @@ import click
 import jax
 
 from ..utils import Config
-from .common import build_dataset, compute_dtype_from, make_vocab
+from .common import build_split_pipeline, compute_dtype_from, make_vocab
 
 
 @click.command()
@@ -59,7 +59,8 @@ def main(results: str, batch_size: int, decoding, beam_size,
         raise click.ClickException(f"No checkpoint found under {results}model_weights")
     params = restored
 
-    test_set = build_dataset(config, vocab, "test")
+    test_set = build_split_pipeline(config, vocab, "test",
+                                    batch_size=batch_size)
     trainer = Trainer(model, config, results)
     report = trainer.evaluate(params, test_set,
                               os.path.join(results, "formulas_test/"),

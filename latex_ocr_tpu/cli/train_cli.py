@@ -10,7 +10,7 @@ from __future__ import annotations
 import click
 
 from ..utils import Config, LRSchedule
-from .common import build_dataset, compute_dtype_from, make_vocab
+from .common import build_split_pipeline, compute_dtype_from, make_vocab
 
 
 @click.command()
@@ -45,10 +45,23 @@ def main(data: str, vocab: str, training: str, model: str, output: str,
             config.batch_size = rounded
         click.echo(f"Data-parallel mesh: {mesh.devices.size} devices")
 
-    train_set = build_dataset(config, voc, "train")
-    val_set = build_dataset(config, voc, "val")
+    sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding
 
-    n_batches_epoch = (len(train_set) + config.batch_size - 1) // config.batch_size
+        sharding = batch_sharding(mesh)
+    # `"pipeline": "cached"` in the training config selects the
+    # product-speed cached pipeline (the curriculum scripts' path);
+    # default stays the reference-semantics DataGenerator
+    train_set = build_split_pipeline(config, voc, "train",
+                                     sharding=sharding, shuffle=True)
+    val_set = build_split_pipeline(config, voc, "val", sharding=sharding)
+
+    n_batches_epoch = (
+        len(train_set)
+        if hasattr(train_set, "id_pad")  # pipeline: len = batches/epoch
+        else (len(train_set) + config.batch_size - 1) // config.batch_size
+    )
     # the reference torch path's "lr_scheduler": "CosineAnnealingLR" maps to
     # cosine decay over the same [start_decay, end_decay] window
     decay_mode = (
