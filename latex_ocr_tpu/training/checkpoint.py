@@ -42,6 +42,30 @@ class CheckpointManager:
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 
+    def save_async(self, step: int, params: Dict, opt_state: Any,
+                   extra: Optional[Dict] = None,
+                   raw_params: Optional[Dict] = None) -> None:
+        """Non-blocking save for the step-granular save-latest stream.
+
+        The caller's training loop keeps running while orbax writes in the
+        background. The trees are copied to host numpy FIRST: train_step
+        donates its params/opt_state buffers, so an async writer holding
+        device references would read freed memory one step later.
+        """
+        import numpy as np
+
+        def host(tree):
+            return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+        state = {
+            "params": host(params),
+            "opt_state": host(opt_state),
+            "extra": extra or {},
+        }
+        if raw_params is not None:
+            state["raw_params"] = host(raw_params)
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
 
@@ -77,6 +101,7 @@ class CheckpointManager:
             for raw_tmpl in shapes
             for extra_target in ((extra_like or {}), {})
         ]
+        first_err: Optional[Exception] = None
         for i, (raw_tmpl, extra_target) in enumerate(attempts):
             target = {
                 "params": params_like,
@@ -89,9 +114,16 @@ class CheckpointManager:
                 restored = self._mgr.restore(
                     step, args=ocp.args.StandardRestore(target)
                 )
-            except Exception:
+            except Exception as e:
+                # surface the FIRST attempt's error when everything fails:
+                # it targeted the most likely structure, so its message
+                # names the real mismatch (a genuinely corrupted or
+                # wrong-model checkpoint otherwise reports the error from
+                # the least-likely shape — raw template + empty extra)
+                if first_err is None:
+                    first_err = e
                 if i == len(attempts) - 1:
-                    raise
+                    raise first_err
                 continue
             return (
                 restored["params"],
@@ -136,12 +168,19 @@ class CheckpointManager:
             try:
                 try:
                     restored = self._mgr.restore(step)
-                except ValueError:
+                except ValueError as e:
                     # the saved shardings name devices this process doesn't
                     # have (e.g. a TPU-written checkpoint restored on a CPU
                     # host for eval/oracle work) — re-read every leaf as a
                     # plain numpy array instead; params_like casting below
-                    # puts them on the local default device
+                    # puts them on the local default device. Trigger is
+                    # narrowed to device/sharding wording so an unrelated
+                    # ValueError (e.g. structure mismatch) surfaces instead
+                    # of taking this path.
+                    msg = str(e).lower()
+                    if not any(s in msg for s in
+                               ("device", "sharding", "platform", "mesh")):
+                        raise
                     restored = self._restore_as_numpy(step)
             finally:
                 absl_logger.setLevel(prev_level)
