@@ -81,24 +81,58 @@ def predict_image(model, params, img_path: str, with_score: bool = False):
     return model.ids_to_latex(np.asarray(ids)[0, 0])
 
 
+def predict_via_http(url: str, img_path: str, model: str | None = None):
+    """Client for the `serve --http` endpoint: POST the PNG bytes, return
+    the decoded JSON dict ({latex[, score]})."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    with open(img_path, "rb") as f:
+        body = f.read()
+    target = url.rstrip("/") + "/predict"
+    if model:
+        target += "?model=" + urllib.parse.quote(model)
+    req = urllib.request.Request(
+        target, data=body, headers={"Content-Type": "image/png"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return _json.loads(resp.read())
+
+
 @click.command()
 @click.option("--results", default="results/full/")
 @click.option("--image", default=None, help="Decode one image and exit (no REPL)")
+@click.option("--url", default=None,
+              help="Client mode: send images to a `serve --http` endpoint "
+                   "(e.g. http://127.0.0.1:8321) instead of loading a "
+                   "local checkpoint — no JAX, no weights on this host")
+@click.option("--route", default=None,
+              help="Model route for --url multi-model servers")
 @click.option("--scores", is_flag=True,
               help="Print the hypothesis confidence (sequence log-prob; "
                    "beam re-rank score under length-norm re-ranking) "
                    "before each hypothesis")
-def main(results: str, image: str | None, scores: bool) -> None:
-    from ..utils.jax_setup import setup_jax
+def main(results: str, image: str | None, url: str | None,
+         route: str | None, scores: bool) -> None:
+    if url is None:
+        from ..utils.jax_setup import setup_jax
 
-    setup_jax()
-    model, params = load_model(results)
+        setup_jax()
+        model, params = load_model(results)
 
     def handle(path: str) -> None:
         path = path.strip()
         if path.endswith(".pdf"):
             path = _pdf_to_png(path)
-        if scores:
+        if url is not None:
+            out = predict_via_http(url, path, model=route)
+            if "score" in out:
+                click.echo(f"{out['score']:.4f}\t{out['latex']}")
+            else:
+                click.echo(out["latex"])
+        elif scores:
             hyp, score = predict_image(model, params, path, with_score=True)
             click.echo(f"{score:.4f}\t{hyp}")
         else:
