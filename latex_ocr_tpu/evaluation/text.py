@@ -147,3 +147,93 @@ def selective_report(
     if (~correct).any():
         out["conf_wrong_mean"] = float(scores[~correct].mean())
     return out
+
+
+def fit_temperature(scores: Sequence[float], correct: Sequence[bool]) -> float:
+    """Fit a temperature T for sequence-level confidence calibration.
+
+    ``scores`` are sequence log-probs (decode_step_scored); the model's
+    implied probability-of-correct is ``exp(s)``, and temperature scaling
+    rescales it to ``exp(s / T)``. T minimizes the NLL of the binary
+    exact-match outcomes (the standard Guo et al. 2017 recipe, applied at
+    the sequence level since selective prediction consumes sequence
+    confidences). Pure-numpy golden-section search over log T.
+    """
+    import numpy as np
+
+    s = np.asarray(list(scores), dtype=np.float64)
+    c = np.asarray(list(correct), dtype=bool)
+    if len(s) == 0 or c.all() or not c.any():
+        # degenerate outcomes (all right / all wrong): no signal to fit
+        return 1.0
+
+    def nll(log_t: float) -> float:
+        p = np.exp(np.minimum(0.0, s / np.exp(log_t)))
+        p = np.clip(p, 1e-12, 1.0 - 1e-12)
+        return float(-(np.log(p[c]).sum() + np.log(1.0 - p[~c]).sum()))
+
+    lo, hi = -4.0, 4.0
+    gr = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    x1 = b - gr * (b - a)
+    x2 = a + gr * (b - a)
+    f1, f2 = nll(x1), nll(x2)
+    for _ in range(60):
+        if f1 < f2:
+            b, x2, f2 = x2, x1, f1
+            x1 = b - gr * (b - a)
+            f1 = nll(x1)
+        else:
+            a, x1, f1 = x1, x2, f2
+            x2 = a + gr * (b - a)
+            f2 = nll(x2)
+    return float(np.exp((a + b) / 2.0))
+
+
+def calibration_report(
+    scores: Sequence[float],
+    correct: Sequence[bool],
+    temperature: float = 1.0,
+    n_bins: int = 10,
+) -> Dict[str, object]:
+    """ECE + reliability table for sequence-level confidences.
+
+    ``temperature`` rescales log-prob scores (fit it on a HELD-OUT split
+    with fit_temperature; fitting and evaluating on the same data
+    understates miscalibration). Returns ECE for the raw (T=1) and
+    temperature-scaled confidences plus the scaled reliability table
+    [(bin_lo, bin_hi, mean_conf, accuracy, count), ...] — a calibrated
+    model's mean_conf tracks accuracy in every bin.
+    """
+    import numpy as np
+
+    s = np.asarray(list(scores), dtype=np.float64)
+    c = np.asarray(list(correct), dtype=np.float64)
+    if len(s) == 0:
+        return {}
+
+    def _ece(p: "np.ndarray"):
+        edges = np.linspace(0.0, 1.0, n_bins + 1)
+        ece = 0.0
+        rows = []
+        for i in range(n_bins):
+            m = (p >= edges[i]) & (p < edges[i + 1] if i < n_bins - 1 else p <= edges[i + 1])
+            if not m.any():
+                rows.append((float(edges[i]), float(edges[i + 1]), None, None, 0))
+                continue
+            conf = float(p[m].mean())
+            acc = float(c[m].mean())
+            ece += (m.sum() / len(p)) * abs(conf - acc)
+            rows.append((float(edges[i]), float(edges[i + 1]), conf, acc, int(m.sum())))
+        return float(ece), rows
+
+    p_raw = np.exp(np.minimum(0.0, s))
+    p_cal = np.exp(np.minimum(0.0, s / max(1e-9, temperature)))
+    ece_raw, _ = _ece(p_raw)
+    ece_cal, rows = _ece(p_cal)
+    return {
+        "temperature": float(temperature),
+        "ece_raw": ece_raw,
+        "ece_calibrated": ece_cal,
+        "reliability": rows,
+    }

@@ -102,3 +102,31 @@ def test_metrics_writer_jsonl_and_tensorboard(tmp_path, monkeypatch):
         tb_dir = tmp_path / "tb"
         events = list(tb_dir.glob("events.out.tfevents.*"))
         assert events, "TB backend available but no event file written"
+
+
+def test_fit_temperature_and_calibration_report():
+    """Temperature fitting recovers a known miscalibration and ECE drops
+    after scaling; reliability rows are well-formed."""
+    import numpy as np
+
+    from latex_ocr_tpu.evaluation.text import (calibration_report,
+                                               fit_temperature)
+
+    rng = np.random.default_rng(0)
+    n = 4000
+    # true probability of correctness per sample
+    p_true = rng.uniform(0.05, 0.95, n)
+    correct = rng.random(n) < p_true
+    # model reports OVERCONFIDENT log-probs: s = 0.4 * log p  (p^0.4 > p)
+    scores = 0.4 * np.log(p_true)
+    T = fit_temperature(scores, correct)
+    # recovering the true probabilities needs s / T = log p  => T ~= 0.4
+    assert 0.25 < T < 0.6, T
+    rep = calibration_report(scores, correct, temperature=T)
+    assert rep["ece_calibrated"] < rep["ece_raw"] * 0.5, rep
+    rows = [r for r in rep["reliability"] if r[4]]
+    assert rows and all(0.0 <= r[2] <= 1.0 and 0.0 <= r[3] <= 1.0 for r in rows)
+
+    # degenerate outcomes: no fit
+    assert fit_temperature([-0.1, -0.2], [True, True]) == 1.0
+    assert fit_temperature([], []) == 1.0
