@@ -41,10 +41,16 @@ eval-full-flagship:
 	python evaluate_txt.py --results=results/full_flagship/
 	python evaluate_img.py --results=results/full_flagship/
 
+# the r5 headline: the flagship curriculum on the 2-D structural raster
+# (REAL im2latex formulas; data/layout.py renders \frac/^/_/\sqrt/arrays
+# as stacked TeX boxes — see RESULTS.md "Round 5 additions")
+full-2d:
+	bash scripts/train_im2latex_2d.sh
+
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
 
-.PHONY: small build-small train-small eval-small full build-full train-full eval-full full-flagship train-full-flagship eval-full-flagship test bench
+.PHONY: full-2d small build-small train-small eval-small full build-full train-full eval-full full-flagship train-full-flagship eval-full-flagship test bench
