@@ -1,11 +1,17 @@
 #!/bin/bash
-# Round-5 final catch-up queue: waits for the drill queue, then retries /
-# runs whatever the earlier queues could not fit, cheapest-first.
+# Round-5 final catch-up queue: waits for the drill queue, then runs the
+# remaining chip work highest-value-first. Whatever the round's wall-clock
+# cuts off simply stays unrun — every item is idempotent and reports
+# incrementally.
 #   1. epoch-mix bench retry on the 2-D dataset (first attempt hit its
 #      30-min timeout warming 18 fresh shape programs; the persistent
 #      compile cache makes the retry mostly-warm)
-#   2. coverage-beta cells on the 2-D flagship (decode-lever check)
-#   3. printed->handwritten calibration transfer (train 2 small models)
+#   2. composed-stabilizer spread (r4 VERDICT #4): ctl vs
+#      update_clip+ema_decay on the GRU Uni phase, seeds 0..2 — a spike
+#      census prints after every completed seed pair so partial coverage
+#      still lands in the log
+#   3. coverage-beta cells on the 2-D flagship (decode-lever check)
+#   4. printed->handwritten calibration transfer (train 2 small models)
 cd "$(dirname "$0")/.."
 
 if [ -f /tmp/drillq5.pid ]; then
@@ -16,6 +22,62 @@ echo "=== final queue starting $(date -u) ==="
 echo "=== mix2d retry $(date -u) ==="
 timeout 2700 python bench.py --mix --mix-data data/im2latex2dSyn \
     || echo "mix2d retry FAILED"
+
+run_phase() {
+    local out="$1"; shift
+    [ -f "$out/.chain_done" ] && { echo "skip $out (done)"; return; }
+    python scripts/train_im2latex_syn.py --out "$out/" "$@" || return 1
+    touch "$out/.chain_done"
+}
+
+census() {
+    python - <<'PYEOF'
+import json, os
+
+def census(path):
+    losses = [json.loads(l)["loss"] for l in open(path) if '"loss"' in l]
+    converged, n, in_spike, degraded = False, 0, False, 0
+    for x in losses:
+        if not converged:
+            converged = x < 1.0
+            continue
+        if x > 1.0:
+            degraded += 1
+        if x > 3.0 and not in_spike:
+            n, in_spike = n + 1, True
+        elif x < 1.0:
+            in_spike = False
+    return {"spikes_gt3": n, "degraded_samples_gt1": degraded,
+            "min_loss": round(min(losses), 4),
+            "final_loss": round(losses[-1], 4)}
+
+for seed in (0, 1, 2):
+    for arm in ("ctl", "combo"):
+        tag = f"results/gruSpread_{arm}_s{seed}"
+        if os.path.exists(tag + "/metrics.jsonl"):
+            print(json.dumps({"arm": f"{arm} s{seed}",
+                              **census(tag + "/metrics.jsonl")}))
+PYEOF
+}
+
+echo "=== composed-stabilizer spread $(date -u) ==="
+run_phase results/im2latexEZ_gru --data-dir data/im2latexEZ \
+    --clip 5.0 --dropout 1.0 --n-epochs 25 --batch-size 64 \
+    --max-length 11 --lr-init 1e-3 --lr-min 1e-4 --cell-type gru \
+    || echo "donor FAILED"
+for SEED in 0 1 2; do
+    run_phase "results/gruSpread_ctl_s${SEED}" --cell-type gru \
+        --dropout 1.0 --n-epochs 20 --max-length 110 \
+        --data-dir data/im2latexUni --warm-start results/im2latexEZ_gru \
+        --clip 5.0 --seed "$SEED" || break
+    run_phase "results/gruSpread_combo_s${SEED}" --cell-type gru \
+        --dropout 1.0 --n-epochs 20 --max-length 110 \
+        --data-dir data/im2latexUni --warm-start results/im2latexEZ_gru \
+        --clip 5.0 --seed "$SEED" \
+        --update-clip 1.0 --ema-decay 0.999 || break
+    echo "=== spike census after seed ${SEED} $(date -u) ==="
+    census
+done
 
 echo "=== coverage-beta cells (2-D flagship) $(date -u) ==="
 timeout 3600 python scripts/sweep_beam_alpha.py \
