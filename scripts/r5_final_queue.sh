@@ -7,9 +7,11 @@
 #      30-min timeout warming 18 fresh shape programs; the persistent
 #      compile cache makes the retry mostly-warm)
 #   2. composed-stabilizer spread (r4 VERDICT #4): ctl vs
-#      update_clip+ema_decay on the GRU Uni phase, seeds 0..2 — a spike
-#      census prints after every completed seed pair so partial coverage
-#      still lands in the log
+#      update_clip+ema_decay on the GRU Uni phase, seeds 0..2, at 12
+#      epochs per arm (r4 arms ran 20; the ctl-vs-combo contrast at equal
+#      epochs is the measurement, and 12 epochs fits all three seeds in
+#      the round's tail) — a spike census prints after every completed
+#      seed pair so partial coverage still lands in the log
 #   3. coverage-beta cells on the 2-D flagship (decode-lever check)
 #   4. printed->handwritten calibration transfer (train 2 small models)
 cd "$(dirname "$0")/.."
@@ -67,11 +69,11 @@ run_phase results/im2latexEZ_gru --data-dir data/im2latexEZ \
     || echo "donor FAILED"
 for SEED in 0 1 2; do
     run_phase "results/gruSpread_ctl_s${SEED}" --cell-type gru \
-        --dropout 1.0 --n-epochs 20 --max-length 110 \
+        --dropout 1.0 --n-epochs 12 --max-length 110 \
         --data-dir data/im2latexUni --warm-start results/im2latexEZ_gru \
         --clip 5.0 --seed "$SEED" || break
     run_phase "results/gruSpread_combo_s${SEED}" --cell-type gru \
-        --dropout 1.0 --n-epochs 20 --max-length 110 \
+        --dropout 1.0 --n-epochs 12 --max-length 110 \
         --data-dir data/im2latexUni --warm-start results/im2latexEZ_gru \
         --clip 5.0 --seed "$SEED" \
         --update-clip 1.0 --ema-decay 0.999 || break
