@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-5 tail queue: runs after r5_catchup_queue.sh. Re-ordering shim:
+# the drill re-measure (r4 VERDICT #2 "done" criterion) outranks the
+# optional hwcalib/covbeta legs, so those are pre-marked done in the
+# catch-up queue and run HERE, after the drill.
+cd "$(dirname "$0")/.."
+
+# wait for the catch-up queue to finish (marker line in its log)
+while ! grep -q "R5 CATCHUP QUEUE DONE" /tmp/catchup5.log 2>/dev/null; do
+    sleep 60
+done
+echo "=== tail queue starting $(date -u) ==="
+
+leg() {
+    local name="$1"; shift
+    [ -f "/tmp/r5t_${name}.done" ] && { echo "skip leg $name (done)"; return; }
+    echo "=== leg $name START $(date -u) ==="
+    if "$@"; then
+        touch "/tmp/r5t_${name}.done"
+        echo "=== leg $name DONE $(date -u) ==="
+    else
+        echo "=== leg $name FAILED ($?) $(date -u) ==="
+    fi
+}
+
+# ---- 1. `make full` drill train+eval on the cached pipeline (VERDICT #2)
+drill_leg() {
+    timeout 3600 python train.py --data=configs/data.json \
+        --vocab=configs/vocab.json --training=configs/training_drill.json \
+        --model=configs/model.json --output=results/full/ || return 1
+    timeout 1800 python evaluate_txt.py --results=results/full/ --batch_size 64
+}
+leg drill drill_leg
+
+# ---- 2. printed->handwritten calibration transfer --------------------
+hwcalib_leg() {
+    [ -f results/print5k/.chain_done ] || {
+        python scripts/train_handwritten.py --data-dir data/print5k \
+            --out results/print5k/ --donor "" --seed 0 || return 1
+        touch results/print5k/.chain_done
+    }
+    [ -f results/hw5kStroke_s0/.chain_done ] || {
+        python scripts/train_handwritten.py --data-dir data/hw5kStroke \
+            --out results/hw5kStroke_s0/ --donor results/print5k --seed 0 \
+            || return 1
+        touch results/hw5kStroke_s0/.chain_done
+    }
+    python scripts/calibration_report.py --results results/print5k \
+        --transfer results/hw5kStroke_s0
+}
+leg hwcalib hwcalib_leg
+
+# ---- 3. coverage-beta cells on the 2-D flagship ----------------------
+leg covbeta timeout 3600 python scripts/sweep_beam_alpha.py \
+    --results results/im2latex2dLong --data data/im2latex2dLong --max-len 150 \
+    --beams 5 --alphas 0.6 --coverage-betas 0,0.2
+
+echo "R5 TAIL QUEUE DONE $(date -u)"
