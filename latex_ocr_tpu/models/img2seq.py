@@ -115,6 +115,18 @@ class Img2SeqModel:
         # beam megakernel (needs per-step attention weights in the carry)
         self.coverage_beta = float(getattr(config, "coverage_beta", 0.0) or 0.0)
         self.max_length = getattr(config, "max_length_formula", 150) + 1
+        # decode_cross_kv_dtype: storage dtype for the precomputed
+        # cross-attention K/V at decode time (transformer family only).
+        # "bfloat16" halves the per-row VMEM the beam megakernel budgets
+        # for the cross blocks — at K=5/R=300 that lifts the batch block
+        # from 8 to 16 rows (ops/transformer_kernel.py _auto_block_b).
+        # Applied identically on the kernel and XLA paths (quantize once,
+        # upcast at use) so kernel/XLA token parity is preserved.
+        ckv_dt = getattr(config, "decode_cross_kv_dtype", None)
+        if isinstance(ckv_dt, str):
+            ckv_dt = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                      "float32": jnp.float32, "f32": jnp.float32}[ckv_dt]
+        self.cross_kv_dtype = ckv_dt
         self._tx: Optional[optax.GradientTransformation] = None
         pallas = getattr(config, "use_pallas_attention", "auto")
         if pallas == "auto":
@@ -220,6 +232,7 @@ class Img2SeqModel:
                 self.id_end,
                 str(self.compute_dtype),
                 str(self.decoder_dtype),
+                str(self.cross_kv_dtype),
                 self.use_pallas,
                 self.use_megakernel,
                 self.use_train_megakernel,
@@ -394,12 +407,14 @@ class Img2SeqModel:
                 return transformer_decode_greedy_megakernel(
                     dec_params, feat, self.max_length, self.id_end,
                     num_heads=self.num_heads,
+                    cross_kv_dtype=self.cross_kv_dtype,
                 )
             from .transformer import transformer_decode_greedy
 
             return transformer_decode_greedy(
                 dec_params, feat, self.max_length, self.id_end,
                 num_heads=self.num_heads,
+                cross_kv_dtype=self.cross_kv_dtype,
             )
         if self.use_megakernel:
             from ..ops.decoder_kernel import decode_greedy_megakernel
@@ -439,12 +454,14 @@ class Img2SeqModel:
                     self.beam_size, length_norm_alpha=self.length_norm_alpha,
                     num_heads=self.num_heads,
                     div_gamma=self.div_gamma, div_prob=self.div_prob,
+                    cross_kv_dtype=self.cross_kv_dtype,
                 )
             return transformer_decode_beam(
                 dec_params, feat, self.max_length, self.id_end,
                 self.beam_size, div_gamma=self.div_gamma, div_prob=self.div_prob,
                 length_norm_alpha=self.length_norm_alpha,
                 num_heads=self.num_heads,
+                cross_kv_dtype=self.cross_kv_dtype,
             )
         if self.use_megakernel and self.coverage_beta == 0.0:
             from ..ops.decoder_kernel import decode_beam_megakernel
@@ -524,6 +541,7 @@ class Img2SeqModel:
             return transformer_decode_greedy_with_attention(
                 params["decoder"], feat, self.max_length, self.id_end,
                 num_heads=self.num_heads,
+                cross_kv_dtype=self.cross_kv_dtype,
             )
         return decode_greedy_with_attention(
             params["decoder"], feat, self.max_length, self.id_end,

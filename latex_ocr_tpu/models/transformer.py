@@ -354,9 +354,13 @@ def _step_logits(
         q_in = _layer_norm(layer["ln2"], x)
         pc = layer["cross_attn"]
         qc = _split_heads(q_in @ pc["wq"].astype(dt), H)
-        scores = jnp.einsum("...hqd,...hkd->...hqk", qc, ckv["k"]).astype(jnp.float32) * scale
+        # upcast at use: a no-op normally, the dequant step when _cross_kv
+        # stored K/V in a packed dtype (decode_cross_kv_dtype)
+        ck = ckv["k"].astype(dt)
+        cv = ckv["v"].astype(dt)
+        scores = jnp.einsum("...hqd,...hkd->...hqk", qc, ck).astype(jnp.float32) * scale
         wc = jax.nn.softmax(scores, axis=-1)
-        ca = _merge_heads(jnp.einsum("...hqk,...hkd->...hqd", wc.astype(dt), ckv["v"]))
+        ca = _merge_heads(jnp.einsum("...hqk,...hkd->...hqd", wc.astype(dt), cv))
         ca = ca @ pc["wo"].astype(dt) + pc["bo"].astype(dt)
         x = x + ca
         cross_w = wc  # (..., H, 1, R) — keep last layer's
@@ -371,19 +375,26 @@ def _step_logits(
     return logits, new_caches, None
 
 
-def _cross_kv(dec_params: Dict, mem: jnp.ndarray, H: int) -> List[Dict]:
+def _cross_kv(dec_params: Dict, mem: jnp.ndarray, H: int,
+              store_dtype=None) -> List[Dict]:
     """Precompute per-layer cross-attention K/V from the memory: done once
     per decode, the transformer analogue of the LSTM path's hoisted
-    ``att_img`` projection (reference attention_mechanism.py:43)."""
+    ``att_img`` projection (reference attention_mechanism.py:43).
+
+    ``store_dtype`` optionally quantizes the stored K/V (projections are
+    computed in ``mem.dtype`` first, then cast — e.g. bf16 storage under
+    an fp32 decoder). Consumers upcast at use, so the only numeric effect
+    is the storage rounding; the megakernel applies the identical cast
+    (ops/transformer_kernel.py), keeping kernel/XLA token parity."""
     out = []
     for layer in dec_params["layers"]:
         p = layer["cross_attn"]
-        out.append(
-            {
-                "k": _split_heads(mem @ p["wk"].astype(mem.dtype), H),
-                "v": _split_heads(mem @ p["wv"].astype(mem.dtype), H),
-            }
-        )
+        k = mem @ p["wk"].astype(mem.dtype)
+        v = mem @ p["wv"].astype(mem.dtype)
+        if store_dtype is not None:
+            k = k.astype(store_dtype)
+            v = v.astype(store_dtype)
+        out.append({"k": _split_heads(k, H), "v": _split_heads(v, H)})
     return out
 
 
@@ -393,8 +404,12 @@ def transformer_decode_greedy(
     max_length: int,
     id_end: int,
     num_heads: int = DEFAULT_TRANSFORMER["num_heads"],
+    cross_kv_dtype=None,
 ) -> jnp.ndarray:
-    """Greedy argmax decode. Returns ids (B, max_length) int32."""
+    """Greedy argmax decode. Returns ids (B, max_length) int32.
+
+    ``cross_kv_dtype`` selects the cross-K/V storage dtype (see
+    _cross_kv) — the XLA half of the ``decode_cross_kv_dtype`` knob."""
     mem = encode_memory(dec_params, img_feat)
     dt = mem.dtype
     B = mem.shape[0]
@@ -405,7 +420,7 @@ def transformer_decode_greedy(
     T = max_length
 
     pos = sinusoidal_positions(T, D, dt)
-    ckv = _cross_kv(dec_params, mem, H)
+    ckv = _cross_kv(dec_params, mem, H, store_dtype=cross_kv_dtype)
     caches0 = _init_caches(len(dec_params["layers"]), (B,), T, H, Dh, dt)
     x0 = (start_embed(dec_params, dt) + pos[0])[None, None, :].repeat(B, 0)
     ids0 = jnp.full((B, T), id_end, jnp.int32)
@@ -435,6 +450,7 @@ def transformer_decode_greedy_with_attention(
     max_length: int,
     id_end: int,
     num_heads: int = DEFAULT_TRANSFORMER["num_heads"],
+    cross_kv_dtype=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode returning (ids (B, T), cross-attention (B, T, R)):
     last layer, mean over heads — the introspection contract shared with
@@ -448,7 +464,7 @@ def transformer_decode_greedy_with_attention(
     T = max_length
 
     pos = sinusoidal_positions(T, D, dt)
-    ckv = _cross_kv(dec_params, mem, H)
+    ckv = _cross_kv(dec_params, mem, H, store_dtype=cross_kv_dtype)
     caches0 = _init_caches(len(dec_params["layers"]), (B,), T, H, D // H, dt)
     x0 = (start_embed(dec_params, dt) + pos[0])[None, None, :].repeat(B, 0)
 
@@ -480,6 +496,7 @@ def transformer_decode_beam(
     rng: Optional[jax.Array] = None,
     length_norm_alpha: float = 0.0,
     num_heads: int = DEFAULT_TRANSFORMER["num_heads"],
+    cross_kv_dtype=None,
 ) -> BeamOutput:
     """Batched beam search with per-step KV-cache reordering by parent.
 
@@ -502,7 +519,7 @@ def transformer_decode_beam(
     # broadcasts against (B, K, H, 1, Dh) queries — no K-fold HBM copies)
     ckv = [
         {"k": c["k"][:, None], "v": c["v"][:, None]}
-        for c in _cross_kv(dec_params, mem, H)
+        for c in _cross_kv(dec_params, mem, H, store_dtype=cross_kv_dtype)
     ]
     caches0 = _init_caches(len(dec_params["layers"]), (B, K), T, H, D // H, dt)
     x0 = jnp.broadcast_to(

@@ -242,7 +242,8 @@ def _kernel(
 
 
 def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
-                  V: int = 0, F: int = 0, K: int = 1) -> int:
+                  V: int = 0, F: int = 0, K: int = 1,
+                  cross_itemsize: int = 0) -> int:
     """Largest batch block whose VMEM working set fits the budget.
 
     The working set has a fixed part — decoder weights, the (V, D)
@@ -277,8 +278,15 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
                + 2 * D * F)         # mlp w1/w2
     ) + 4 * (L * (2 * D + F + D) + (3 * L + 1) * 2 * D)  # biases + LN rows
     # beam (K > 1): K per-slot cache buffers per (layer, k/v); the cross
-    # K/V blocks are shared across beam slots and do NOT scale with K
-    per_row = 2 * L * (K * Tc + 2 * Rp) * D * itemsize
+    # K/V blocks are shared across beam slots and do NOT scale with K.
+    # cross_itemsize lets the cross blocks be stored packed (bf16 under an
+    # fp32 decoder, decode_cross_kv_dtype): they are kernel INPUTS written
+    # once per block — the Mosaic dynamic-row-store limitation only binds
+    # the per-step SELF-cache stores, which stay at `itemsize`. Halving
+    # the cross bytes is what lifts K=5/R=300 from bb=8 to bb=16.
+    if cross_itemsize <= 0:
+        cross_itemsize = itemsize
+    per_row = 2 * L * (K * Tc * itemsize + 2 * Rp * cross_itemsize) * D
     bb = 64
     # NOTE on wide beams: an earlier revision hard-capped K>=4 at bb=8
     # because Mosaic's register allocator kept the K per-slot row blocks
@@ -296,7 +304,7 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_length", "id_end", "num_heads", "block_b", "interpret"),
+    static_argnames=("max_length", "id_end", "num_heads", "block_b", "interpret", "cross_kv_dtype"),
 )
 def transformer_decode_greedy_megakernel(
     dec_params: Dict,
@@ -306,10 +314,18 @@ def transformer_decode_greedy_megakernel(
     num_heads: int = 8,
     block_b: int | None = None,
     interpret: bool = False,
+    cross_kv_dtype=None,
 ) -> jnp.ndarray:
     """Greedy transformer decode with the whole T-loop in one Pallas
     kernel. Returns ids (B, max_length) int32 matching
-    transformer_decode_greedy (END-filled after each sequence finishes)."""
+    transformer_decode_greedy (END-filled after each sequence finishes).
+
+    ``cross_kv_dtype`` stores the per-layer cross K/V blocks packed (e.g.
+    bf16 under an fp32 decoder): they are written once per grid block and
+    only ever read whole, so the dynamic-row-store limitation that keeps
+    the SELF caches fp32 does not apply; _mha_cached upcasts on read. The
+    same cast runs on the XLA path (models/transformer.py _cross_kv), so
+    kernel/XLA token parity is preserved at equal settings."""
     from ..models.transformer import (
         encode_memory,
         sinusoidal_positions,
@@ -327,8 +343,10 @@ def transformer_decode_greedy_megakernel(
         # finding) fixes the merges but not this store, so non-f32 decoder
         # dtypes take the XLA loop.
         return transformer_decode_greedy(
-            dec_params, img_feat, max_length, id_end, num_heads=num_heads
+            dec_params, img_feat, max_length, id_end, num_heads=num_heads,
+            cross_kv_dtype=cross_kv_dtype,
         )
+    ck_dt = jnp.dtype(cross_kv_dtype) if cross_kv_dtype is not None else dt
     B, R, _ = mem.shape
     layers = dec_params["layers"]
     L = len(layers)
@@ -336,23 +354,28 @@ def transformer_decode_greedy_megakernel(
     V, D = table.shape
     T = max_length
     Tc = _round_tile(T, dt.itemsize)
-    Rp = _round_tile(R, dt.itemsize)
+    # Rp pads the cross buffers' second-minor dim: round for the SMALLER
+    # itemsize (larger sublane tile) so both dtypes' tilings are satisfied
+    Rp = _round_tile(R, min(dt.itemsize, ck_dt.itemsize))
 
     if block_b is None:
         F = layers[0]["mlp"]["w1"].shape[1]
-        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize, V=V, F=F)
+        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize, V=V, F=F,
+                                cross_itemsize=ck_dt.itemsize)
         if block_b == 0:
             return transformer_decode_greedy(
-                dec_params, img_feat, T, id_end, num_heads=num_heads
+                dec_params, img_feat, T, id_end, num_heads=num_heads,
+                cross_kv_dtype=cross_kv_dtype,
             )
 
-    # per-layer cross K/V, head-merged (B, R, D), padded to (Bp, Rp, D)
+    # per-layer cross K/V, head-merged (B, R, D), padded to (Bp, Rp, D);
+    # stored in ck_dt (packed when decode_cross_kv_dtype says so)
     pad_b = (-B) % block_b
     cks, cvs = [], []
     for layer in layers:
         p = layer["cross_attn"]
-        ck = mem @ p["wk"].astype(dt)
-        cv = mem @ p["wv"].astype(dt)
+        ck = (mem @ p["wk"].astype(dt)).astype(ck_dt)
+        cv = (mem @ p["wv"].astype(dt)).astype(ck_dt)
         cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
         cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
     Bp = B + pad_b
@@ -740,6 +763,7 @@ def _beam_kernel(
     static_argnames=(
         "max_length", "id_end", "beam_size", "length_norm_alpha",
         "num_heads", "block_b", "interpret", "div_gamma", "div_prob",
+        "cross_kv_dtype",
     ),
 )
 def transformer_decode_beam_megakernel(
@@ -754,6 +778,7 @@ def transformer_decode_beam_megakernel(
     interpret: bool = False,
     div_gamma: float = 1.0,
     div_prob: float = 0.0,
+    cross_kv_dtype=None,
 ):
     """Transformer beam search with the whole T-loop in one Pallas kernel.
 
@@ -781,6 +806,7 @@ def transformer_decode_beam_megakernel(
             dec_params, img_feat, max_length, id_end, K,
             div_gamma=div_gamma, div_prob=div_prob,
             length_norm_alpha=length_norm_alpha, num_heads=num_heads,
+            cross_kv_dtype=cross_kv_dtype,
         )
 
     if use_div and not div_kernel_ok:
@@ -795,17 +821,20 @@ def transformer_decode_beam_megakernel(
         # the XLA loop.
         return _fallback()
     B, R, _ = mem.shape
+    ck_dt = jnp.dtype(cross_kv_dtype) if cross_kv_dtype is not None else dt
     layers = dec_params["layers"]
     L = len(layers)
     table = dec_params["embedding_table"]
     V, D = table.shape
     T = max_length
     Tc = _round_tile(T, dt.itemsize)
-    Rp = _round_tile(R, dt.itemsize)
+    # round for the smaller itemsize so both dtypes' sublane tilings hold
+    Rp = _round_tile(R, min(dt.itemsize, ck_dt.itemsize))
 
     if block_b is None:
         F = layers[0]["mlp"]["w1"].shape[1]
-        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize, V=V, F=F, K=K)
+        block_b = _auto_block_b(L, Tc, Rp, D, dt.itemsize, V=V, F=F, K=K,
+                                cross_itemsize=ck_dt.itemsize)
         if block_b == 0:
             return _fallback()
         # the top-k permutation matmuls scale with (Bb*K)^2 — keep BK
@@ -816,8 +845,8 @@ def transformer_decode_beam_megakernel(
     cks, cvs = [], []
     for layer in layers:
         p = layer["cross_attn"]
-        ck = mem @ p["wk"].astype(dt)
-        cv = mem @ p["wv"].astype(dt)
+        ck = (mem @ p["wk"].astype(dt)).astype(ck_dt)
+        cv = (mem @ p["wv"].astype(dt)).astype(ck_dt)
         cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
         cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
     Bp = B + pad_b
