@@ -76,6 +76,9 @@ VARIANTS = {
     "gru_xla": _gru(use_decoder_megakernel=False),
     "transformer": dict(),  # the flagship config itself
     "transformer_xla": dict(use_decoder_megakernel=False),
+    # bf16 cross-KV storage: halves the per-row cross-block VMEM, lifting
+    # the beam megakernel's batch block at wide beams (K=5/R=300: 8 -> 16)
+    "transformer_ckv16": dict(decode_cross_kv_dtype="bfloat16"),
     "transformer4": dict(
         transformer_config={"num_layers": 4, "num_heads": 8,
                             "dim_model": 256, "dim_ff": 1024}),
