@@ -50,9 +50,23 @@ hwcalib_leg() {
 }
 leg hwcalib hwcalib_leg
 
-# ---- 3. coverage-beta cells on the 2-D flagship ----------------------
-leg covbeta timeout 3600 python scripts/sweep_beam_alpha.py \
+# ---- 3. beam x alpha cells on the 2-D flagship (transformer) ----------
+# (coverage_beta is an attn_lstm-family lever — passing it to the
+# transformer raises by design, so the flagship gets the plain grid)
+leg beam2d timeout 3600 python scripts/sweep_beam_alpha.py \
     --results results/im2latex2dLong --data data/im2latex2dLong --max-len 150 \
-    --beams 5 --alphas 0.6 --coverage-betas 0,0.2
+    --beams 2,5 --alphas 0,0.6 --coverage-betas 0
+
+# ---- 4. coverage-beta cells on the 2-D LSTM (if its chain finished) ----
+covbeta_lstm_leg() {
+    [ -d results/im2latex2dSynFinal_lstm/model_weights ] || {
+        echo "no 2-D LSTM final checkpoint — skipping coverage cells"
+        return 0
+    }
+    timeout 3600 python scripts/sweep_beam_alpha.py \
+        --results results/im2latex2dSynFinal_lstm --data data/im2latex2dSyn \
+        --max-len 150 --beams 5 --alphas 0.6 --coverage-betas 0,0.2
+}
+leg covbeta_lstm covbeta_lstm_leg
 
 echo "R5 TAIL QUEUE DONE $(date -u)"
