@@ -21,6 +21,13 @@ timeout 1200 python scripts/bench_decode.py --batch 256 --image 50 400 \
     --variants transformer,transformer_ckv16 \
     || echo "ckv K2 bench FAILED"
 
+echo "=== bf16 cross-KV quality check (greedy + beam5, 2-D test) $(date -u) ==="
+timeout 3600 python scripts/sweep_beam_alpha.py \
+    --results results/im2latex2dLong --data data/im2latex2dLong --max-len 150 \
+    --beams 1,5 --alphas 0 \
+    --extra-config '{"decode_cross_kv_dtype": "bfloat16"}' \
+    || echo "ckv quality FAILED"
+
 echo "=== headline bench $(date -u) ==="
 timeout 1200 python bench.py || echo "headline FAILED"
 echo "R5 BENCH QUEUE DONE $(date -u)"

@@ -34,7 +34,11 @@ import click
               help="GNMT coverage-penalty betas to add to the grid "
                    "(models/decoding.py coverage_log_penalty); beam>1 "
                    "cells only — coverage re-ranks among beams")
-def main(results, data_dir, max_len, batch_size, beams, alphas, coverage_betas):
+@click.option("--extra-config", default="",
+              help="JSON object merged into every cell's model config "
+                   "(e.g. '{\"decode_cross_kv_dtype\": \"bfloat16\"}')")
+def main(results, data_dir, max_len, batch_size, beams, alphas,
+         coverage_betas, extra_config):
     from latex_ocr_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
@@ -90,6 +94,7 @@ def main(results, data_dir, max_len, batch_size, beams, alphas, coverage_betas):
             "max_length_formula": max_len,
             "path_vocab": data_dir + "vocab.txt",
             "batch_size": batch_size, "buckets": buckets,
+            **(json.loads(extra_config) if extra_config else {}),
         })
         vocab = Vocab(cfg)
         model = Img2SeqModel(cfg, vocab, compute_dtype=jnp.bfloat16,
