@@ -53,4 +53,7 @@ test:
 bench:
 	python bench.py
 
-.PHONY: full-2d small build-small train-small eval-small full build-full train-full eval-full full-flagship train-full-flagship eval-full-flagship test bench
+bench-mix:  # epoch-mix throughput over a real dataset's full bucket mix
+	python bench.py --mix
+
+.PHONY: full-2d small build-small train-small eval-small full build-full train-full eval-full full-flagship train-full-flagship eval-full-flagship test bench bench-mix
