@@ -124,8 +124,13 @@ class Img2SeqModel:
         # upcast at use) so kernel/XLA token parity is preserved.
         ckv_dt = getattr(config, "decode_cross_kv_dtype", None)
         if isinstance(ckv_dt, str):
-            ckv_dt = {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-                      "float32": jnp.float32, "f32": jnp.float32}[ckv_dt]
+            try:
+                ckv_dt = jnp.dtype(ckv_dt)
+            except TypeError as e:
+                raise ValueError(
+                    f"decode_cross_kv_dtype {ckv_dt!r} is not a dtype name "
+                    f"(use e.g. \"bfloat16\" or \"float32\")"
+                ) from e
         self.cross_kv_dtype = ckv_dt
         self._tx: Optional[optax.GradientTransformation] = None
         pallas = getattr(config, "use_pallas_attention", "auto")
@@ -232,7 +237,6 @@ class Img2SeqModel:
                 self.id_end,
                 str(self.compute_dtype),
                 str(self.decoder_dtype),
-                str(self.cross_kv_dtype),
                 self.use_pallas,
                 self.use_megakernel,
                 self.use_train_megakernel,

@@ -123,7 +123,9 @@ def _kernel(
     b1_ref,     # (L, F) f32
     w2_ref,     # (L, F, D) dt
     b2_ref,     # (L, D) f32
-    *rest,      # ck_0..ck_{L-1}, cv_0..cv_{L-1} (Bb, Rp, D) dt inputs;
+    *rest,      # ck_0..ck_{L-1}, cv_0..cv_{L-1} (Bb, Rp, D) inputs in dt
+                # or the packed decode_cross_kv_dtype (read whole +
+                # upcast in _mha_cached, never stored to);
                 # ids_ref (1, T, Bb) int32 output;
                 # kc_0..kc_{L-1}, vc_0..vc_{L-1} (Bb, Tc, D) dt scratch
     L: int,
@@ -302,6 +304,23 @@ def _auto_block_b(L: int, Tc: int, Rp: int, D: int, itemsize: int,
     return bb
 
 
+
+def _cross_kv_blocks(layers, mem, dt, ck_dt, pad_b, Rp, R):
+    """Head-merged cross K/V per layer, padded to (Bp, Rp, D), stored in
+    ``ck_dt`` (the packed decode_cross_kv_dtype under an fp32 decoder).
+    One definition for both kernels so the quantize-after-projection step
+    cannot drift from models/transformer.py _cross_kv (the parity
+    contract: project in dt, cast once, upcast at use)."""
+    cks, cvs = [], []
+    for layer in layers:
+        p = layer["cross_attn"]
+        ck = (mem @ p["wk"].astype(dt)).astype(ck_dt)
+        cv = (mem @ p["wv"].astype(dt)).astype(ck_dt)
+        cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
+        cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
+    return cks, cvs
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_length", "id_end", "num_heads", "block_b", "interpret", "cross_kv_dtype"),
@@ -368,16 +387,8 @@ def transformer_decode_greedy_megakernel(
                 cross_kv_dtype=cross_kv_dtype,
             )
 
-    # per-layer cross K/V, head-merged (B, R, D), padded to (Bp, Rp, D);
-    # stored in ck_dt (packed when decode_cross_kv_dtype says so)
     pad_b = (-B) % block_b
-    cks, cvs = [], []
-    for layer in layers:
-        p = layer["cross_attn"]
-        ck = (mem @ p["wk"].astype(dt)).astype(ck_dt)
-        cv = (mem @ p["wv"].astype(dt)).astype(ck_dt)
-        cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
-        cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
+    cks, cvs = _cross_kv_blocks(layers, mem, dt, ck_dt, pad_b, Rp, R)
     Bp = B + pad_b
     n_blocks = Bp // block_b
 
@@ -483,8 +494,10 @@ def _beam_kernel(
     b1_ref,     # (L, F) f32
     w2_ref,     # (L, F, D) dt
     b2_ref,     # (L, D) f32
-    *rest,      # ck_0..ck_{L-1}, cv_0..cv_{L-1} (Bb, Rp, D) dt inputs
-                # (cross K/V shared across beams — NOT tiled by K);
+    *rest,      # ck_0..ck_{L-1}, cv_0..cv_{L-1} (Bb, Rp, D) inputs in dt
+                # or the packed decode_cross_kv_dtype (read whole + upcast
+                # in _mha_cached; cross K/V shared across beams — NOT
+                # tiled by K);
                 # outputs ids (1, T, BK), parents (1, T, BK) int32,
                 # lp (1, BK, 1) f32, len (1, BK, 1) int32;
                 # scratch kc/vc[l*K + j] (Bb, Tc, D) dt — per-layer,
@@ -842,13 +855,7 @@ def transformer_decode_beam_megakernel(
         block_b = min(block_b, max(8, (128 // K) // 8 * 8))
 
     pad_b = (-B) % block_b
-    cks, cvs = [], []
-    for layer in layers:
-        p = layer["cross_attn"]
-        ck = (mem @ p["wk"].astype(dt)).astype(ck_dt)
-        cv = (mem @ p["wv"].astype(dt)).astype(ck_dt)
-        cks.append(jnp.pad(ck, ((0, pad_b), (0, Rp - R), (0, 0))))
-        cvs.append(jnp.pad(cv, ((0, pad_b), (0, Rp - R), (0, 0))))
+    cks, cvs = _cross_kv_blocks(layers, mem, dt, ck_dt, pad_b, Rp, R)
     Bp = B + pad_b
     n_blocks = Bp // block_b
     BK = block_b * K

@@ -248,12 +248,20 @@ def test_cross_kv_config_plumbing():
     params = m_f32.init_params(jax.random.PRNGKey(0))
     imgs = (np.random.default_rng(0).integers(0, 255, (2, 24, 24, 1))
             .astype(np.uint8))
-    ids_a = np.asarray(m_f32._greedy(params["decoder"],
-                                     m_f32._encode_decoder_feat(params, imgs)
-                                     if hasattr(m_f32, "_encode_decoder_feat")
-                                     else _feat(m_f32, params, imgs)))
-    ids_b = np.asarray(m_bf16._greedy(params["decoder"],
-                                      _feat(m_bf16, params, imgs)))
+    ids_a = np.asarray(m_f32._greedy(params["decoder"], _feat(m_f32, params, imgs)))
+    ids_b = np.asarray(m_bf16._greedy(params["decoder"], _feat(m_bf16, params, imgs)))
+    # the knob must actually reach the decode: with the feat quantized to
+    # bf16 cross-KV the step scores differ in the low mantissa bits, but a
+    # random-weight decode has no meaningful margins — so assert the knob
+    # reproduces the DIRECT functional call with the same dtype instead
+    from latex_ocr_tpu.models.transformer import transformer_decode_greedy
+
+    ids_direct = np.asarray(transformer_decode_greedy(
+        params["decoder"], _feat(m_bf16, params, imgs),
+        m_bf16.max_length, m_bf16.id_end, num_heads=m_bf16.num_heads,
+        cross_kv_dtype=jnp.bfloat16,
+    ))
+    np.testing.assert_array_equal(ids_b, ids_direct)
     assert ids_a.shape == ids_b.shape
 
 
