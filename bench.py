@@ -215,6 +215,7 @@ def main_mix(data_dir: str = None, n_epochs: int = 2) -> None:
         batch_rows = 0
         shapes = {}
         step = 0
+        metrics = None
         for batch in pipeline:
             n_real = int(batch.pop("n_real"))
             shape_key = (
@@ -230,6 +231,8 @@ def main_mix(data_dir: str = None, n_epochs: int = 2) -> None:
             batch_rows += batch["formula"].shape[0]
             token_slots += int(np.prod(batch["formula"].shape))
             real_tokens += int(np.asarray(batch["length"]).sum())
+        if metrics is None:
+            raise SystemExit(f"no batches from {data_dir} — empty dataset?")
         _ = float(metrics["loss"])  # hard sync
         return params, opt_state, (
             time.perf_counter() - t0, n_img, batch_rows, token_slots,
@@ -400,6 +403,8 @@ if __name__ == "__main__":
         mix_data = None
         if "--mix-data" in argv:
             i = argv.index("--mix-data")
+            if i + 1 >= len(argv):
+                raise SystemExit("--mix-data needs a directory argument")
             mix_data = argv[i + 1]
         main_mix(mix_data)
         sys.exit(0)

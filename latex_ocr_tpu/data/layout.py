@@ -161,14 +161,22 @@ def is_structural(token: str) -> bool:
 
 
 class _P:
-    """Token cursor with leaf-position tracking (for structural_shuffle)."""
+    r"""Token cursor with leaf-position tracking (for structural_shuffle).
 
-    __slots__ = ("toks", "i", "leaf_pos")
+    ``invisible`` counts enclosing no-ink contexts (\hspace/\label/\kern
+    arguments, array column specs, \phantom bodies): tokens parsed inside
+    them render nothing, so they must NOT be recorded as visible leaves —
+    otherwise structural_shuffle would swap real glyphs into
+    pixel-unrecoverable positions (and OOV injection would label invisible
+    slots)."""
+
+    __slots__ = ("toks", "i", "leaf_pos", "invisible")
 
     def __init__(self, toks: Sequence[str]):
         self.toks = list(toks)
         self.i = 0
         self.leaf_pos: List[int] = []
+        self.invisible = 0
 
     def peek(self) -> Optional[str]:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -202,6 +210,16 @@ def _parse_stream(p: _P, stop: frozenset = frozenset(), depth: int = 0) -> list:
         t = p.peek()
         if _stops_match(t, stop):
             break
+        if t in (r"\atop", r"\choose", r"\over"):
+            # TeX infix semantics OUTSIDE brace groups too (top level, env
+            # cells, fence bodies): everything before vs after within the
+            # current stream. _parse_group handles the in-group case via
+            # its stop set, which breaks this loop before reaching here.
+            p.next()
+            rhs = _parse_stream(p, stop, depth)
+            if t == r"\over":
+                return [("frac", _row(out), _row(rhs))]
+            return [("stack", _row(out), _row(rhs), t == r"\choose")]
         if t in ("^", "_"):
             # script with no fresh atom before it (e.g. after an invisible
             # token, or garbage streams): attach to the previous node
@@ -309,7 +327,9 @@ def _parse_atom(p: _P, depth: int, stop: frozenset):
         return ("accent", arg, _ACCENTS[t])
     if t in _EAT_GROUP:
         if p.peek() == "{":
+            p.invisible += 1
             _parse_group(p, depth)  # consumed, no ink (real TeX semantics)
+            p.invisible -= 1
         return ("space", 0.3 if t in (r"\hspace", r"\hskip") else 0.0)
     if t == r"\frac":
         num = _parse_arg(p, depth + 1)
@@ -334,7 +354,9 @@ def _parse_atom(p: _P, depth: int, stop: frozenset):
         arg = _parse_arg(p, depth)
         return ("sqrt", arg, index)
     if t in (r"\phantom", r"\vphantom", r"\hphantom"):
+        p.invisible += 1
         arg = _parse_arg(p, depth)
+        p.invisible -= 1
         return ("phantom", arg, {r"\phantom": "full", r"\vphantom": "v",
                                  r"\hphantom": "h"}[t])
     if t == r"\not":
@@ -366,7 +388,8 @@ def _parse_atom(p: _P, depth: int, stop: frozenset):
     if t.startswith(r"\end{"):
         return None  # stray \end: recover
     # plain visible leaf
-    p.leaf_pos.append(p.i - 1)
+    if not p.invisible:
+        p.leaf_pos.append(p.i - 1)
     return ("leaf", t)
 
 
@@ -381,7 +404,9 @@ def _parse_env(p: _P, begin_tok: str, depth: int):
     name = begin_tok[7:-1]
     end_tok = r"\end{" + name + "}"
     if name == "array" and p.peek() == "{":
+        p.invisible += 1
         _parse_group(p, depth)  # column spec: consumed invisibly
+        p.invisible -= 1
     rows: list = [[]]
     cur: list = []
     while True:

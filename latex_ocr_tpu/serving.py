@@ -15,6 +15,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+import concurrent.futures as _futures
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -456,7 +457,9 @@ class LatexOCRServer:
                 except RequestTimeout as e:
                     self._reply(504, {"error": str(e)})
                     return
-                except TimeoutError:
+                except (TimeoutError, _futures.TimeoutError):
+                    # concurrent.futures.TimeoutError is only an alias of
+                    # the builtin from Python 3.11; catch both for 3.10
                     self._reply(504, {"error": "decode wait timed out"})
                     return
                 except RuntimeError as e:

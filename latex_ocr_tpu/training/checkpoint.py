@@ -51,8 +51,22 @@ class CheckpointManager:
         background. The trees are copied to host numpy FIRST: train_step
         donates its params/opt_state buffers, so an async writer holding
         device references would read freed memory one step later.
+
+        Idempotent per step: latest_epoch() only reports COMMITTED steps,
+        so a caller guard like `latest_epoch() != step` races an in-flight
+        async save of the same step (e.g. an epoch boundary landing on a
+        save_every_steps multiple) — orbax would wait for the in-flight
+        commit and then raise StepAlreadyExistsError, killing the run. A
+        duplicate request for a step this manager already saved (in-flight
+        or committed) is therefore a silent no-op: both resume points
+        replay the same deterministic work.
         """
         import numpy as np
+
+        if step == getattr(self, "_last_async_step", None):
+            return
+        if step in (self._mgr.all_steps() or ()):
+            return
 
         def host(tree):
             return jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
@@ -65,6 +79,7 @@ class CheckpointManager:
         if raw_params is not None:
             state["raw_params"] = host(raw_params)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        self._last_async_step = step
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()

@@ -114,6 +114,11 @@ def main():
 
     refs = [l.split() for l in open(answers.rstrip("/") + "/ref.txt")]
     hyps = [l.split() for l in open(answers.rstrip("/") + "/hyp_0.txt")]
+    if len(refs) != len(hyps):
+        raise SystemExit(
+            f"ref.txt has {len(refs)} lines but hyp_0.txt has {len(hyps)} — "
+            "mismatched decode artifacts"
+        )
     n = len(refs)
     em_raw = sum(r == h for r, h in zip(refs, hyps))
     em_id = sum(canon(r) == canon(h) for r, h in zip(refs, hyps))
@@ -145,6 +150,9 @@ def main():
     print("\nEM by train 4-gram-coverage quartile (low->high):")
     for i in range(4):
         part = rows[i * q:(i + 1) * q if i < 3 else len(rows)]
+        if not part:  # fewer than 4 scored lines
+            print(f"  Q{i+1}: (empty)")
+            continue
         cov = sum(c for c, _ in part) / len(part)
         em = 100 * sum(e for _, e in part) / len(part)
         print(f"  Q{i+1}: mean coverage {cov:.3f}  EM {em:.2f}  (n={len(part)})")

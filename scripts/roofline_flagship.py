@@ -59,12 +59,16 @@ def timed(fn, args, steps, rounds, sync):
     return best
 
 
+def _flops_from_lowered(lowered):
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
 def flops_of(fn, *args):
     try:
-        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        return float(cost.get("flops", 0.0))
+        return _flops_from_lowered(jax.jit(fn).lower(*args))
     except Exception:
         return None
 
@@ -96,12 +100,6 @@ def main():
     results = {}
 
     # --- full train step (the bench program)
-    def train_call(p, o):
-        return model.train_step(p, o, batch, lr, rng, 1.0)
-
-    def sync_train(out):
-        return float(out[2]["loss"])
-
     # keep params/opt alive across donations by rebinding
     state = [params, opt0]
 
@@ -114,12 +112,8 @@ def main():
                     lambda m: float(m["loss"]))
     f_train = None
     try:
-        lowered = type(model).train_step.lower(
-            model, state[0], state[1], batch, lr, rng, 1.0)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f_train = float(cost.get("flops", 0.0))
+        f_train = _flops_from_lowered(type(model).train_step.lower(
+            model, state[0], state[1], batch, lr, rng, 1.0))
     except Exception:
         pass
     results["train"] = (t_train, f_train)
@@ -177,12 +171,8 @@ def main():
                  lambda m: float(m["loss"]))
     f_tb = None
     try:
-        lowered = type(model_b).train_step.lower(
-            model_b, state_b[0], state_b[1], batch, lr, rng, 1.0)
-        cost = lowered.compile().cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        f_tb = float(cost.get("flops", 0.0))
+        f_tb = _flops_from_lowered(type(model_b).train_step.lower(
+            model_b, state_b[0], state_b[1], batch, lr, rng, 1.0))
     except Exception:
         pass
     results["train_bf16_decoder"] = (t_tb, f_tb)

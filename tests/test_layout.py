@@ -206,3 +206,51 @@ def test_2d_more_compact_than_flat():
     lay = render_formula_array(f, handwritten="layout")
     assert lay.shape[1] < 0.75 * flat.shape[1]
     assert lay.shape[0] > flat.shape[0]  # and gains height
+
+
+def test_leaf_positions_exclude_invisible_contexts():
+    """Tokens consumed with no ink (array column specs, \\hspace/\\label
+    arguments, \\phantom bodies) must not be shuffle/OOV targets: swapping
+    a visible glyph into such a slot makes its label pixel-unrecoverable."""
+    import numpy as np
+
+    from latex_ocr_tpu.data.layout import leaf_positions, structural_shuffle
+
+    f = r"\begin{array} { c c } x & y \\ 1 & 2 \end{array}"
+    toks = f.split()
+    leaves = [toks[i] for i in leaf_positions(toks)]
+    assert sorted(leaves) == ["1", "2", "x", "y"], leaves
+    # the column spec survives any shuffle
+    for seed in range(5):
+        assert "{ c c }" in structural_shuffle(f, np.random.default_rng(seed))
+
+    t2 = r"a \hspace { 2 m m } b \label { e q } c".split()
+    assert [t2[i] for i in leaf_positions(t2)] == ["a", "b", "c"]
+
+    t3 = r"a \phantom { x y } b \vphantom { Q } c".split()
+    assert [t3[i] for i in leaf_positions(t3)] == ["a", "b", "c"]
+
+
+def test_over_infix_outside_groups():
+    """TeX treats \\over as an infix in the current group even with no
+    braces; previously a top-level \\over fell through to a fake leaf
+    glyph (flat row) while is_structural() claimed it was structural."""
+    from latex_ocr_tpu.data.layout import (
+        is_structural,
+        leaf_positions,
+        render_layout_formula_array,
+    )
+
+    flat = render_layout_formula_array("a b")
+    over = render_layout_formula_array(r"a \over b")
+    # stacked: taller and narrower than the 2-leaf row
+    assert over.shape[0] > flat.shape[0]
+    assert over.shape[1] < flat.shape[1]
+    # consistency: structural tokens are never visible leaves
+    toks = r"a \over b".split()
+    assert is_structural(r"\over")
+    assert [toks[i] for i in leaf_positions(toks)] == ["a", "b"]
+    # also inside environment cells and fence bodies
+    cell = render_layout_formula_array(
+        r"\begin{pmatrix} a \over b & c \end{pmatrix}")
+    assert cell.size > 0

@@ -327,3 +327,31 @@ def test_restore_params_numpy_fallback_and_error_passthrough(tmp_path):
         mgr2.restore_params()
     mgr2._mgr.restore = orig_restore
     mgr2.close()
+
+
+def test_save_async_duplicate_step_is_noop(tmp_path):
+    """Epoch boundaries landing on a save_every_steps multiple request the
+    SAME step twice (the second request races the first's async commit);
+    orbax raises StepAlreadyExistsError for committed duplicates, so
+    save_async must treat a repeated step as a no-op — in-flight
+    (tracked via _last_async_step) and committed (all_steps) alike."""
+    import jax.numpy as jnp
+
+    from latex_ocr_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path / "latest"), max_to_keep=2)
+    params = {"w": jnp.ones((2, 2))}
+    opt = {"m": jnp.zeros((2, 2))}
+    mgr.save_async(10, params, opt, extra={"epoch": 1})
+    # duplicate request while the first may still be in flight
+    mgr.save_async(10, params, opt, extra={"epoch": 1})
+    mgr._mgr.wait_until_finished()
+    # duplicate request after commit (fresh manager: no in-flight marker)
+    mgr2 = CheckpointManager(str(tmp_path / "latest"), max_to_keep=2)
+    mgr2.save_async(10, params, opt, extra={"epoch": 1})
+    mgr2._mgr.wait_until_finished()
+    assert mgr2.latest_epoch() == 10
+    # a NEW step still saves
+    mgr2.save_async(11, params, opt, extra={"epoch": 1})
+    mgr2._mgr.wait_until_finished()
+    assert mgr2.latest_epoch() == 11
